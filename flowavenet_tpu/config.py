@@ -1,0 +1,179 @@
+"""Configuration for the TPU-native FloWaveNet framework.
+
+Replaces the reference's ``tf.contrib.training.HParams`` singleton
+(/root/reference/hparams.py:6-50, hparams8000.py) with frozen dataclasses and
+named presets.  Knob names follow the reference where sensible so configs are
+comparable side by side.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    """Audio / mel-spectrogram frontend (reference hparams.py:13-31)."""
+
+    sample_rate: int = 22050
+    num_mels: int = 80
+    n_fft: int = 1024
+    hop_size: int = 256
+    fmin: float = 125.0
+    fmax: float = 7600.0
+    min_level_db: float = -100.0
+    ref_level_db: float = 20.0
+    rescaling_max: float = 0.999
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Flow model shape (reference hparams.py:38-49, model.py:282-314)."""
+
+    n_block: int = 8
+    n_flow: int = 6
+    n_layer: int = 2
+    affine: bool = True
+    causal: bool = False          # reference key: ``causality`` (model.py:297)
+    filter_size: int = 256        # hard-coded 256 in reference (model.py:217)
+    num_mels: int = 80
+    upsample_scales: tuple[int, ...] = (16, 16)
+    gin_channels: int = -1        # <=0 disables global (speaker) conditioning
+    n_speakers: int = 7
+    # Reference bug (modules.py:188-189): WaveNet.__call__ drops ``g`` so global
+    # conditioning never reaches the coupling nets.  We fix it; set True to
+    # reproduce the reference's behaviour bit-for-bit.
+    parity_drop_global_cond: bool = False
+
+    @property
+    def hop_size(self) -> int:
+        h = 1
+        for s in self.upsample_scales:
+            h *= s
+        return h
+
+    @property
+    def squeeze_factor(self) -> int:
+        return 2 ** self.n_block
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Input pipeline (reference hparams.py:28-36, dataset.py)."""
+
+    max_time_steps: int = 6400     # training crop length in audio samples
+    batch_size: int = 8            # per-replica batch (reference: per tower)
+    test_size: int = 10
+    split_random_state: int = 123
+    shuffle_buffer: int = 64
+    eval_max_time_steps: int = 22050 * 4
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization (reference train.py:15-32, hparams.py:9-10)."""
+
+    learning_rate: float = 1e-3
+    # (boundary_step, divisor) applied as in train.py:17-20
+    lr_boundaries: tuple[tuple[int, float], ...] = (
+        (200_000, 2.0), (400_000, 4.0), (600_000, 6.0))
+    grad_clip_norm: float = 1.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    train_steps: int = 2_000_000
+    # bf16 compute / fp32 params replaces the reference's fp16 + static loss
+    # scaling (utils.py:3-31, train.py:64,77); no loss scale needed on TPU.
+    compute_dtype: str = "bfloat16"
+    seed: int = 75                 # reference tf_random_seed (hparams.py:47)
+    temp: float = 0.7              # synthesis noise temperature (hparams.py:48)
+    summary_interval: int = 500
+    checkpoint_interval: int = 2000
+    eval_interval: int = 5000
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for SPMD (replaces tower replication, train.py:35-83)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # -1: use all devices on the data axis, model axis size 1.
+    data_parallel: int = -1
+    model_parallel: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def replace(self, **sections: Any) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        d = json.loads(s)
+
+        def _mk(cls, dd):
+            fields = {f.name: f for f in dataclasses.fields(cls)}
+            kw = {}
+            for k, v in dd.items():
+                if k not in fields:
+                    continue
+                if isinstance(v, list):
+                    v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+                kw[k] = v
+            return cls(**kw)
+
+        return Config(
+            audio=_mk(AudioConfig, d.get("audio", {})),
+            model=_mk(ModelConfig, d.get("model", {})),
+            data=_mk(DataConfig, d.get("data", {})),
+            train=_mk(TrainConfig, d.get("train", {})),
+            mesh=_mk(MeshConfig, d.get("mesh", {})),
+        )
+
+
+def lj22k() -> Config:
+    """Default 22.05 kHz profile == reference hparams.py."""
+    return Config()
+
+
+def lj8k() -> Config:
+    """8 kHz profile == reference hparams8000.py:18-49."""
+    return Config(
+        audio=AudioConfig(sample_rate=8000, n_fft=512, hop_size=96,
+                          fmax=4000.0),
+        model=ModelConfig(n_block=5, upsample_scales=(8, 12)),
+        data=DataConfig(max_time_steps=2320),
+    )
+
+
+def tiny() -> Config:
+    """Tiny config for tests and the end-to-end smoke slice
+    (BASELINE.json configs[0]: 2 blocks x 2 flows)."""
+    return Config(
+        audio=AudioConfig(),
+        model=ModelConfig(n_block=2, n_flow=2, n_layer=2, filter_size=32),
+        data=DataConfig(max_time_steps=2048, batch_size=2),
+        train=TrainConfig(compute_dtype="float32"),
+    )
+
+
+PRESETS = {"lj22k": lj22k, "lj8k": lj8k, "tiny": tiny}
+
+
+def get_config(name: str) -> Config:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; choose from {sorted(PRESETS)}")
+    return PRESETS[name]()

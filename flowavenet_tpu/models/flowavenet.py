@@ -1,0 +1,385 @@
+"""FloWaveNet: mel-conditioned normalizing flow over raw audio, TPU-native.
+
+Functional re-design of the reference model (/root/reference/model.py).  The
+model is a pure ``init / apply`` pair over parameter pytrees:
+
+* ``init``     -> params pytree (fp32)
+* ``forward``  -> (log_p, logdet) for NLL training (model.py:317-347)
+* ``reverse``  -> one-shot synthesis from noise (model.py:350-396)
+* ``ddi``      -> data-dependent ActNorm init as an explicit functional pass
+                  (replaces the in-graph tf.cond machinery, model.py:30-41)
+
+TPU-first structure: the ``n_flow`` flows inside each block are homogeneous,
+so their parameters are stacked on a leading axis and the block body is one
+``jax.lax.scan`` — a single compiled step per block instead of 48 unrolled
+flow graphs.  Blocks are heterogeneous (channels double per block,
+model.py:295-299) and stay a Python loop of scanned stages.
+
+Numerics match the reference exactly in fp32 (see tests/test_parity_tf.py):
+ActNorm logdet = mean(3*logs) over channels (model.py:71,80); coupling
+logdet = mean(-log_s)/2 (model.py:135); squeeze layout channel=2c+p
+(model.py:224-228); log_p = mean(0.5*(-log 2pi - z^2)) (model.py:343).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.squeeze import change_order, squeeze, unsqueeze
+from .modules import apply_wavenet, init_wavenet
+from .upsample import apply_upsample, init_upsample
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+
+# ---------------------------------------------------------------------------
+# ActNorm (model.py:7-105)
+# ---------------------------------------------------------------------------
+
+def init_actnorm(channels: int) -> dict:
+    """Identity init; real values come from the DDI pass (model.py:55-70).
+
+    (The reference leaves these at TF's default random init until the DDI
+    step overwrites them — starting at identity is strictly saner and
+    equivalent after DDI.)
+    """
+    return {"b": jnp.zeros((1, 1, channels), jnp.float32),
+            "logs": jnp.zeros((1, 1, channels), jnp.float32)}
+
+
+def actnorm_forward(p: dict, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """x -> (x + b) * exp(3*logs); logdet = mean(3*logs) (model.py:55-80)."""
+    logs3 = p["logs"].astype(jnp.float32) * 3.0
+    out = (x + p["b"].astype(x.dtype)) * jnp.exp(logs3).astype(x.dtype)
+    return out, jnp.mean(logs3)
+
+
+def actnorm_reverse(p: dict, x: jax.Array) -> jax.Array:
+    logs3 = p["logs"].astype(jnp.float32) * 3.0
+    return x * jnp.exp(-logs3).astype(x.dtype) - p["b"].astype(x.dtype)
+
+
+def actnorm_ddi(x: jax.Array) -> dict:
+    """Data-dependent init from one batch (model.py:55-56, 69-70):
+    b = -mean(x), logs = log(1/(std+1e-7))/3 with stats over (batch, time)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(0, 1), keepdims=True)
+    centered = xf - mean
+    var = jnp.mean(centered * centered, axis=(0, 1), keepdims=True)
+    logs = jnp.log(1.0 / (jnp.sqrt(var) + 1e-7)) / 3.0
+    return {"b": -mean, "logs": logs}
+
+
+# ---------------------------------------------------------------------------
+# Affine coupling (model.py:108-164)
+# ---------------------------------------------------------------------------
+
+def coupling_forward(p: dict, x: jax.Array, c: jax.Array,
+                     g: Optional[jax.Array], *, affine: bool, causal: bool
+                     ) -> tuple[jax.Array, jax.Array]:
+    in_a, in_b = jnp.split(x, 2, axis=2)
+    c_a = jnp.split(c, 2, axis=2)[0]
+    g_a = jnp.split(g, 2, axis=2)[0] if g is not None else None
+
+    net_out = apply_wavenet(p, in_a, c_a, g_a, causal=causal)
+    if affine:
+        log_s, t = jnp.split(net_out, 2, axis=2)
+        out_b = (in_b - t) * jnp.exp(-log_s)
+        logdet = jnp.mean(-log_s.astype(jnp.float32)) / 2.0
+    else:
+        out_b = in_b + net_out
+        logdet = jnp.asarray(0.0, jnp.float32)
+    return jnp.concatenate([in_a, out_b], axis=2), logdet
+
+
+def coupling_reverse(p: dict, x: jax.Array, c: jax.Array,
+                     g: Optional[jax.Array], *, affine: bool,
+                     causal: bool) -> jax.Array:
+    out_a, out_b = jnp.split(x, 2, axis=2)
+    c_a = jnp.split(c, 2, axis=2)[0]
+    g_a = jnp.split(g, 2, axis=2)[0] if g is not None else None
+
+    net_out = apply_wavenet(p, out_a, c_a, g_a, causal=causal)
+    if affine:
+        log_s, t = jnp.split(net_out, 2, axis=2)
+        in_b = out_b * jnp.exp(log_s) + t
+    else:
+        in_b = out_b - net_out
+    return jnp.concatenate([out_a, in_b], axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Block: squeeze + n_flow scanned flow steps (model.py:207-280)
+# ---------------------------------------------------------------------------
+
+def init_block(key: jax.Array, in_channels: int, cin_channels: int,
+               cfg: ModelConfig, gin_channels: int) -> dict:
+    """Stacked params for one block.  Channel counts are those AFTER the
+    block's squeeze (squeeze_dim = 2*in, model.py:212-218)."""
+    sq, sq_c = 2 * in_channels, 2 * cin_channels
+    sq_g = 2 * gin_channels if gin_channels > 0 else 0
+    out_ch = sq if cfg.affine else sq // 2
+
+    def one_flow(k):
+        return {
+            "actnorm": init_actnorm(sq),
+            "coupling": init_wavenet(
+                k, in_channels=sq // 2, out_channels=out_ch,
+                num_layers=cfg.n_layer, residual_channels=cfg.filter_size,
+                cin_channels=sq_c // 2,
+                gin_channels=sq_g // 2 if sq_g else 0),
+        }
+
+    flows = [one_flow(k) for k in jax.random.split(key, cfg.n_flow)]
+    return {"flows": jax.tree.map(lambda *xs: jnp.stack(xs), *flows)}
+
+
+def _flow_step_fwd(cfg: ModelConfig, has_g: bool):
+    def step(carry, fp):
+        if has_g:
+            x, c, g = carry
+        else:
+            (x, c), g = carry, None
+        x, ld_a = actnorm_forward(fp["actnorm"], x)
+        x, ld_c = coupling_forward(fp["coupling"], x, c, g,
+                                   affine=cfg.affine, causal=cfg.causal)
+        x, c = change_order(x), change_order(c)
+        if has_g:
+            return (x, c, change_order(g)), ld_a + ld_c
+        return (x, c), ld_a + ld_c
+    return step
+
+
+def block_forward(p: dict, cfg: ModelConfig, x, c, g):
+    x, c = squeeze(x), squeeze(c)
+    g = squeeze(g) if g is not None else None
+    has_g = g is not None
+    carry = (x, c, g) if has_g else (x, c)
+    carry, lds = jax.lax.scan(_flow_step_fwd(cfg, has_g), carry, p["flows"])
+    if has_g:
+        x, c, g = carry
+    else:
+        x, c = carry
+    return x, c, g, jnp.sum(lds)
+
+
+def _flow_step_rev(cfg: ModelConfig, has_g: bool):
+    def step(carry, fp):
+        if has_g:
+            x, c, g = carry
+            g = change_order(g)
+        else:
+            (x, c), g = carry, None
+        x, c = change_order(x), change_order(c)
+        x = coupling_reverse(fp["coupling"], x, c, g,
+                             affine=cfg.affine, causal=cfg.causal)
+        x = actnorm_reverse(fp["actnorm"], x)
+        if has_g:
+            return (x, c, g), None
+        return (x, c), None
+    return step
+
+
+def block_reverse(p: dict, cfg: ModelConfig, x, c, g):
+    """Inverse of block_forward on already-squeezed tensors; unsqueezes at
+    the end (model.py:249-277)."""
+    has_g = g is not None
+    carry = (x, c, g) if has_g else (x, c)
+    carry, _ = jax.lax.scan(_flow_step_rev(cfg, has_g), carry, p["flows"],
+                            reverse=True)
+    if has_g:
+        x, c, g = carry
+    else:
+        x, c = carry
+    x, c = unsqueeze(x), unsqueeze(c)
+    g = unsqueeze(g) if has_g else None
+    return x, c, g
+
+
+def _flow_step_ddi(cfg: ModelConfig, has_g: bool):
+    def step(carry, fp):
+        if has_g:
+            x, c, g = carry
+        else:
+            (x, c), g = carry, None
+        an = actnorm_ddi(x)
+        x, _ = actnorm_forward(an, x)
+        x, _ = coupling_forward(fp["coupling"], x, c, g,
+                                affine=cfg.affine, causal=cfg.causal)
+        x, c = change_order(x), change_order(c)
+        if has_g:
+            return (x, c, change_order(g)), an
+        return (x, c), an
+    return step
+
+
+def block_ddi(p: dict, cfg: ModelConfig, x, c, g):
+    x, c = squeeze(x), squeeze(c)
+    g = squeeze(g) if g is not None else None
+    has_g = g is not None
+    carry = (x, c, g) if has_g else (x, c)
+    carry, new_an = jax.lax.scan(_flow_step_ddi(cfg, has_g), carry,
+                                 p["flows"])
+    if has_g:
+        x, c, g = carry
+    else:
+        x, c = carry
+    # new_an leaves have shape [n_flow, 1, 1, C] — same as stored.
+    new_p = {"flows": {**p["flows"], "actnorm": new_an}}
+    return x, c, g, new_p
+
+
+# ---------------------------------------------------------------------------
+# Full model (model.py:282-404)
+# ---------------------------------------------------------------------------
+
+class FloWaveNet(NamedTuple):
+    """Thin namespace bundling the functional API with a config."""
+    cfg: ModelConfig
+
+    def init(self, key: jax.Array) -> dict:
+        return init_flowavenet(key, self.cfg)
+
+    def forward(self, params, x, c, g=None, compute_dtype=jnp.float32):
+        return forward(params, self.cfg, x, c, g, compute_dtype)
+
+    def reverse(self, params, z, c, g=None, compute_dtype=jnp.float32):
+        return reverse(params, self.cfg, z, c, g, compute_dtype)
+
+    def ddi(self, params, x, c, g=None, compute_dtype=jnp.float32):
+        return ddi(params, self.cfg, x, c, g, compute_dtype)
+
+
+def init_flowavenet(key: jax.Array, cfg: ModelConfig) -> dict:
+    keys = jax.random.split(key, cfg.n_block + 2)
+    params: dict = {"upsample": init_upsample(keys[0], cfg.upsample_scales)}
+    if cfg.gin_channels > 0:
+        limit = math.sqrt(6.0 / (cfg.n_speakers + cfg.gin_channels))
+        params["speaker_emb"] = jax.random.uniform(
+            keys[1], (cfg.n_speakers, cfg.gin_channels), jnp.float32,
+            -limit, limit)
+    blocks = []
+    in_ch, cin_ch = 1, cfg.num_mels
+    gin = cfg.gin_channels if cfg.gin_channels > 0 else 0
+    for i in range(cfg.n_block):
+        blocks.append(init_block(keys[2 + i], in_ch, cin_ch, cfg, gin))
+        in_ch, cin_ch, gin = in_ch * 2, cin_ch * 2, gin * 2
+    params["blocks"] = blocks
+    return params
+
+
+def _check_shapes(cfg: ModelConfig, x: jax.Array, c: jax.Array) -> None:
+    sq = cfg.squeeze_factor
+    hop = cfg.hop_size
+    if x.ndim != 3 or x.shape[-1] != 1:
+        raise ValueError(f"audio must be [B, T, 1], got {x.shape}")
+    if c.ndim != 3 or c.shape[-1] != cfg.num_mels:
+        raise ValueError(
+            f"mel must be [B, T_mel, {cfg.num_mels}], got {c.shape}")
+    if x.shape[1] % sq != 0:
+        raise ValueError(
+            f"T={x.shape[1]} must be divisible by 2**n_block={sq} "
+            f"(each of the {cfg.n_block} blocks halves time)")
+    if c.shape[1] * hop != x.shape[1]:
+        raise ValueError(
+            f"audio/mel misaligned: T={x.shape[1]} != T_mel*hop="
+            f"{c.shape[1]}*{hop}={c.shape[1] * hop}")
+
+
+def _prepare_cond(params: dict, cfg: ModelConfig, c: jax.Array,
+                  g: Optional[jax.Array], compute_dtype):
+    """Mel upsampling + speaker-embedding lookup (model.py:328-336)."""
+    c = apply_upsample(params["upsample"], c.astype(compute_dtype),
+                       cfg.upsample_scales)
+    if cfg.gin_channels > 0:
+        if g is None:
+            raise ValueError("gin_channels > 0 requires speaker ids g "
+                             "(model.py:320-321)")
+        emb = params["speaker_emb"][g].astype(compute_dtype)  # [B, gin]
+        g_emb = jnp.broadcast_to(emb[:, None, :],
+                                 (emb.shape[0], c.shape[1], emb.shape[1]))
+        if cfg.parity_drop_global_cond:
+            # Reference bug (modules.py:189): g never reaches the nets.
+            g_emb = None
+    else:
+        g_emb = None
+    return c, g_emb
+
+
+def forward(params: dict, cfg: ModelConfig, x: jax.Array, c: jax.Array,
+            g: Optional[jax.Array] = None, compute_dtype=jnp.float32
+            ) -> tuple[jax.Array, jax.Array]:
+    """NLL forward pass.  x: [B, T, 1] audio; c: [B, T/hop, num_mels] mel;
+    g: [B] int speaker ids.  Returns fp32 (log_p, logdet) in nats/dim
+    (model.py:342-347)."""
+    _check_shapes(cfg, x, c)
+    x = x.astype(compute_dtype)
+    c, g_emb = _prepare_cond(params, cfg, c, g, compute_dtype)
+
+    logdet = jnp.asarray(0.0, jnp.float32)
+    out = x
+    for bp in params["blocks"]:
+        out, c, g_emb, ld = block_forward(bp, cfg, out, c, g_emb)
+        logdet = logdet + ld
+    z32 = out.astype(jnp.float32)
+    log_p = jnp.mean(0.5 * (-LOG_2PI - z32 * z32))
+    return log_p, logdet
+
+
+def reverse(params: dict, cfg: ModelConfig, z: jax.Array, c: jax.Array,
+            g: Optional[jax.Array] = None, compute_dtype=jnp.float32
+            ) -> jax.Array:
+    """One-shot synthesis: z [B, T, 1] noise -> audio [B, T, 1]
+    (model.py:350-396).  All squeezes are applied up front, then blocks run
+    in reverse order, each unsqueezing once."""
+    _check_shapes(cfg, z, c)
+    z = z.astype(compute_dtype)
+    c, g_emb = _prepare_cond(params, cfg, c, g, compute_dtype)
+
+    x = z
+    for _ in range(cfg.n_block):
+        x, c = squeeze(x), squeeze(c)
+        g_emb = squeeze(g_emb) if g_emb is not None else None
+
+    for bp in reversed(params["blocks"]):
+        x, c, g_emb = block_reverse(bp, cfg, x, c, g_emb)
+    return x
+
+
+def ddi(params: dict, cfg: ModelConfig, x: jax.Array, c: jax.Array,
+        g: Optional[jax.Array] = None, compute_dtype=jnp.float32) -> dict:
+    """Data-dependent ActNorm initialization over one batch.
+
+    Functional equivalent of the reference's first-step init
+    (train.py:179,221-230 + model.py:30-41): each ActNorm's (b, logs) is set
+    from the statistics of its own input, computed sequentially through the
+    flow (couplings are exact identities at fresh init thanks to the
+    zero-init last conv, so this matches the reference's in-step assign).
+    Returns a full params pytree with updated ActNorms.
+    """
+    _check_shapes(cfg, x, c)
+    x = x.astype(compute_dtype)
+    c, g_emb = _prepare_cond(params, cfg, c, g, compute_dtype)
+
+    new_blocks = []
+    out = x
+    for bp in params["blocks"]:
+        out, c, g_emb, new_bp = block_ddi(bp, cfg, out, c, g_emb)
+        new_blocks.append(new_bp)
+    return {**params, "blocks": new_blocks}
+
+
+def loss_fn(params: dict, cfg: ModelConfig, x, c, g=None,
+            compute_dtype=jnp.float32) -> tuple[jax.Array, dict]:
+    """NLL = -(log_p + logdet) in nats/dim (train.py:60); aux metrics include
+    bits/dim for the published baseline metric."""
+    log_p, logdet = forward(params, cfg, x, c, g, compute_dtype)
+    loss = -(log_p + logdet)
+    return loss, {"loss": loss, "log_p": log_p, "logdet": logdet,
+                  "bits_per_dim": loss / math.log(2.0)}

@@ -1,0 +1,134 @@
+"""Convolution primitives for the flow model.
+
+TPU-native replacements for the reference's weight-normalized Keras conv
+layers (/root/reference/convolutional.py) and the pad-managed ``Conv`` /
+``ZeroConv1d`` wrappers (/root/reference/modules.py:6-59).
+
+All tensors are channels-last: activations ``[B, T, C]``, 1-D kernels
+``[K, Cin, Cout]`` (TF layout, so reference checkpoints import directly).
+Dilated convs lower to XLA ``conv_general_dilated`` which tiles onto the MXU;
+1x1 convs are expressed as plain matmuls.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_WN_EPS = 1e-12  # tf.nn.l2_normalize epsilon (convolutional.py:80)
+
+
+# ---------------------------------------------------------------------------
+# Initializers (match TF he_uniform; modules.py:21-22 uses it for kernel AND
+# bias, convolutional.py bias default is zeros).
+# ---------------------------------------------------------------------------
+
+def _tf_fans(shape) -> tuple[int, int]:
+    """TF keras ``_compute_fans`` semantics."""
+    if len(shape) < 1:
+        return 1, 1
+    if len(shape) == 1:
+        return shape[0], shape[0]
+    if len(shape) == 2:
+        return shape[0], shape[1]
+    receptive = int(np.prod(shape[:-2]))
+    return shape[-2] * receptive, shape[-1] * receptive
+
+
+def he_uniform(key: jax.Array, shape, dtype=jnp.float32) -> jax.Array:
+    fan_in, _ = _tf_fans(shape)
+    limit = math.sqrt(6.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+# ---------------------------------------------------------------------------
+# Weight-normalized 1-D conv
+# ---------------------------------------------------------------------------
+
+def init_wn_conv1d(key: jax.Array, in_ch: int, out_ch: int, kernel_size: int,
+                   he_bias: bool = True) -> dict:
+    """Params for a weight-normalized conv (convolutional.py:53-109).
+
+    ``v`` is the raw kernel ``[K, Cin, Cout]``; effective kernel =
+    l2_normalize(v, axis=[0,1]) * g (convolutional.py:80), g init 1.
+    """
+    kk, kb = jax.random.split(key)
+    v = he_uniform(kk, (kernel_size, in_ch, out_ch))
+    b = (he_uniform(kb, (out_ch,)) if he_bias
+         else jnp.zeros((out_ch,), jnp.float32))
+    return {"v": v, "g": jnp.ones((out_ch,), jnp.float32), "b": b}
+
+
+def wn_kernel(p: dict) -> jax.Array:
+    """Effective weight-normalized kernel, computed in fp32."""
+    v = p["v"].astype(jnp.float32)
+    sq = jnp.sum(v * v, axis=(0, 1), keepdims=True)
+    return v * jax.lax.rsqrt(jnp.maximum(sq, _WN_EPS)) * p["g"].astype(jnp.float32)
+
+
+def dilated_conv1d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array],
+                   dilation: int = 1, causal: bool = False) -> jax.Array:
+    """Explicit-padding dilated conv matching modules.py:24-33.
+
+    causal: left-pad d*(k-1) (reference pads both sides then right-crops,
+    modules.py:27-31 — identical result, half the padded compute).
+    non-causal: symmetric pad d*(k-1)//2 (odd kernels only, as in reference).
+    """
+    k = kernel.shape[0]
+    pad = dilation * (k - 1)
+    padding = [(pad, 0)] if causal else [(pad // 2, pad - pad // 2)]
+    dtype = x.dtype
+    out = jax.lax.conv_general_dilated(
+        x, kernel.astype(dtype),
+        window_strides=(1,), padding=padding,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    if bias is not None:
+        out = out + bias.astype(dtype)
+    return out
+
+
+def wn_conv1d(x: jax.Array, p: dict, dilation: int = 1,
+              causal: bool = False) -> jax.Array:
+    return dilated_conv1d(x, wn_kernel(p), p["b"], dilation, causal)
+
+
+def conv1x1(x: jax.Array, kernel: jax.Array,
+            bias: Optional[jax.Array]) -> jax.Array:
+    """1x1 conv as a matmul (MXU path). kernel ``[1, Cin, Cout]`` or
+    ``[Cin, Cout]``."""
+    w = kernel[0] if kernel.ndim == 3 else kernel
+    out = jnp.einsum("btc,cd->btd", x, w.astype(x.dtype),
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(x.dtype)
+    return out
+
+
+def wn_conv1x1(x: jax.Array, p: dict) -> jax.Array:
+    return conv1x1(x, wn_kernel(p), p["b"])
+
+
+# ---------------------------------------------------------------------------
+# ZeroConv1d (modules.py:39-59): zero-init 1x1 conv, no weight norm, output
+# scaled by exp(3*scale) with zero-init per-channel scale — the Glow-style
+# "coupling net starts as exact zero" trick.
+# ---------------------------------------------------------------------------
+
+def init_zero_conv1d(in_ch: int, out_ch: int) -> dict:
+    return {
+        "w": jnp.zeros((1, in_ch, out_ch), jnp.float32),
+        "b": jnp.zeros((out_ch,), jnp.float32),
+        "scale": jnp.zeros((out_ch,), jnp.float32),
+    }
+
+
+def zero_conv1d(x: jax.Array, p: dict) -> jax.Array:
+    out = conv1x1(x, p["w"], p["b"])
+    return out * jnp.exp(p["scale"].astype(x.dtype) * 3.0)

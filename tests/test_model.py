@@ -1,0 +1,182 @@
+"""Model-level tests: full invertibility, DDI, logdet, bf16 path, scan parity.
+
+SURVEY.md §4 items 1-3.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowavenet_tpu.config import tiny
+from flowavenet_tpu.models.flowavenet import (ddi, forward, init_flowavenet,
+                                              loss_fn, reverse)
+
+CFG = tiny().model  # 2 blocks x 2 flows, filter 32
+
+
+def _data(rng, cfg, B=2, T=1024, randomize=None, key=None):
+    hop = cfg.hop_size
+    x = jnp.asarray(rng.randn(B, T, 1), jnp.float32)
+    c = jnp.asarray(rng.rand(B, T // hop, cfg.num_mels), jnp.float32)
+    return x, c
+
+
+def _randomized_params(key, cfg, rng, scale=0.1):
+    """Random (non-identity) params so invertibility is tested non-trivially."""
+    params = init_flowavenet(key, cfg)
+    leaves, treedef = jax.tree.flatten(params)
+    out = []
+    r = np.random.RandomState(7)
+    for leaf in leaves:
+        noise = jnp.asarray(scale * r.randn(*leaf.shape), leaf.dtype)
+        out.append(leaf + noise)
+    return jax.tree.unflatten(treedef, out)
+
+
+def test_forward_shapes_and_dtypes(key, rng):
+    params = init_flowavenet(key, CFG)
+    x, c = _data(rng, CFG)
+    log_p, logdet = forward(params, CFG, x, c)
+    assert log_p.dtype == jnp.float32 and logdet.dtype == jnp.float32
+    assert log_p.shape == () and logdet.shape == ()
+
+
+def test_full_model_invertibility(key, rng):
+    params = _randomized_params(key, CFG, rng)
+    x, c = _data(rng, CFG)
+    # reverse(z) should reconstruct x given z = full forward latent.
+    # Build the latent by running the forward flow manually.
+    from flowavenet_tpu.models.flowavenet import (_prepare_cond,
+                                                  block_forward)
+    cc, _ = _prepare_cond(params, CFG, c, None, jnp.float32)
+    out = x
+    for bp in params["blocks"]:
+        out, cc, _, _ = block_forward(bp, CFG, out, cc, None)
+    # out is the fully squeezed latent; reverse expects unsqueezed z
+    from flowavenet_tpu.ops.squeeze import unsqueeze
+    z = out
+    for _ in range(CFG.n_block):
+        z = unsqueeze(z)
+    x_rec = reverse(params, CFG, z, c)
+    np.testing.assert_allclose(np.array(x_rec), np.array(x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ddi_whitens_each_actnorm_input(key, rng):
+    params = init_flowavenet(key, CFG)
+    x, c = _data(rng, CFG, B=4)
+    new_params = ddi(params, CFG, x, c)
+    # After DDI, re-running DDI must reproduce the same actnorm params
+    # (since couplings are identity at init, the stats are unchanged).
+    again = ddi(new_params, CFG, x, c)
+    for bp_new, bp_again in zip(new_params["blocks"], again["blocks"]):
+        np.testing.assert_allclose(
+            np.array(bp_new["flows"]["actnorm"]["b"]),
+            np.array(bp_again["flows"]["actnorm"]["b"]), atol=1e-4)
+    # and the forward latent should be ~N(0,1)-ish scale per block at init
+    log_p, logdet = forward(new_params, CFG, x, c)
+    loss = -(log_p + logdet)
+    assert np.isfinite(float(loss))
+
+
+def test_model_logdet_vs_jacobian(key):
+    # Tiny model, tiny shapes: full-Jacobian check of the whole flow.
+    from flowavenet_tpu.config import ModelConfig
+    cfg = ModelConfig(n_block=2, n_flow=2, n_layer=1, filter_size=8,
+                      num_mels=2, upsample_scales=(2, 2))
+    rng = np.random.RandomState(3)
+    params = init_flowavenet(jax.random.PRNGKey(1), cfg)
+    params = jax.tree.map(
+        lambda l: l + jnp.asarray(0.1 * rng.randn(*l.shape), l.dtype), params)
+    B, T = 1, 16
+    x = jnp.asarray(rng.randn(B, T, 1), jnp.float32)
+    c = jnp.asarray(rng.rand(B, T // 4, 2), jnp.float32)
+
+    from flowavenet_tpu.models.flowavenet import _prepare_cond, block_forward
+
+    def latent(v):
+        out = v.reshape(B, T, 1)
+        cc, _ = _prepare_cond(params, cfg, c, None, jnp.float32)
+        ld = 0.0
+        for bp in params["blocks"]:
+            out, cc, _, d = block_forward(bp, cfg, out, cc, None)
+        return out.ravel()
+
+    def total_logdet(v):
+        out = v.reshape(B, T, 1)
+        cc, _ = _prepare_cond(params, cfg, c, None, jnp.float32)
+        ld = jnp.asarray(0.0)
+        for bp in params["blocks"]:
+            out, cc, _, d = block_forward(bp, cfg, out, cc, None)
+            ld = ld + d
+        return ld
+
+    J = jax.jacfwd(latent)(x.ravel())
+    expected = np.linalg.slogdet(np.array(J))[1] / (B * T)
+    got = float(total_logdet(x.ravel()))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_close_to_fp32(key, rng):
+    params = init_flowavenet(key, CFG)
+    x, c = _data(rng, CFG)
+    params = ddi(params, CFG, x, c)
+    lp32, ld32 = forward(params, CFG, x, c, compute_dtype=jnp.float32)
+    lp16, ld16 = forward(params, CFG, x, c, compute_dtype=jnp.bfloat16)
+    assert abs(float(lp32) - float(lp16)) < 0.05
+    assert abs(float(ld32) - float(ld16)) < 0.05
+
+
+def test_global_conditioning_path(key, rng):
+    from flowavenet_tpu.config import ModelConfig
+    cfg = ModelConfig(n_block=2, n_flow=2, n_layer=1, filter_size=16,
+                      gin_channels=4, n_speakers=3)
+    params = init_flowavenet(key, cfg)
+    x, c = _data(rng, cfg)
+    g = jnp.asarray([0, 2], jnp.int32)
+    log_p, logdet = forward(params, cfg, x, c, g)
+    assert np.isfinite(float(log_p))
+    # requires g when gin_channels > 0 (model.py:320-321)
+    with pytest.raises(ValueError):
+        forward(params, cfg, x, c, None)
+    # reverse path with g runs and is inverse of forward at random params
+    z = jnp.asarray(rng.randn(*x.shape), jnp.float32)
+    wav = reverse(params, cfg, z, c, g)
+    assert wav.shape == x.shape
+
+    # the parity flag reproduces the reference's g-dropping bug: output
+    # must then be independent of g
+    cfg_bug = ModelConfig(n_block=2, n_flow=2, n_layer=1, filter_size=16,
+                          gin_channels=4, n_speakers=3,
+                          parity_drop_global_cond=True)
+    lp0, _ = forward(params, cfg_bug, x, c, jnp.asarray([0, 0], jnp.int32))
+    lp1, _ = forward(params, cfg_bug, x, c, jnp.asarray([1, 2], jnp.int32))
+    assert float(lp0) == float(lp1)
+
+
+def test_loss_fn_metrics(key, rng):
+    params = init_flowavenet(key, CFG)
+    x, c = _data(rng, CFG)
+    loss, aux = loss_fn(params, CFG, x, c)
+    assert float(loss) == -(float(aux["log_p"]) + float(aux["logdet"]))
+    np.testing.assert_allclose(float(aux["bits_per_dim"]),
+                               float(loss) / np.log(2.0), rtol=1e-6)
+
+
+def test_jit_and_grad(key, rng):
+    params = init_flowavenet(key, CFG)
+    x, c = _data(rng, CFG)
+
+    @jax.jit
+    def step(p, x, c):
+        return jax.value_and_grad(lambda p: loss_fn(p, CFG, x, c)[0])(p)
+
+    loss, grads = step(params, x, c)
+    assert np.isfinite(float(loss))
+    flat = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.array(g))) for g in flat)
+    # zero-conv kernel must receive gradient (scale grad is exactly 0 at
+    # zero-init since the conv output is 0 — true in the reference too)
+    g_w = grads["blocks"][0]["flows"]["coupling"]["zero"]["w"]
+    assert float(jnp.abs(g_w).sum()) > 0
