@@ -1,0 +1,119 @@
+"""Batch synthesis CLI: mel .npy dir -> .wav dir.
+
+Reference surface: /root/reference/synthesize.py:10-63.  Additions over the
+reference: optional batched synthesis (pad-to-bucket, batch>1), speaker-id
+support (the reference CLI cannot pass g), bf16 compute, and RTF reporting.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..checkpoint.checkpoint import latest_checkpoint, restore_checkpoint
+from ..config import Config, get_config
+from ..models.flowavenet import reverse
+from ..training.train_state import create_state
+
+
+def load_params(saved_dir: str, cfg: Config):
+    """Restore model params from the newest train checkpoint
+    (synthesize.py:29-37)."""
+    ckpt = latest_checkpoint(saved_dir)
+    if ckpt is None:
+        raise FileNotFoundError(f"no checkpoint found in {saved_dir}")
+    print(f"Loading checkpoint {ckpt}")
+    template = create_state(jax.random.PRNGKey(0), cfg)
+    state, step = restore_checkpoint(ckpt, template)
+    return state.params, step
+
+
+def _usable_frames(frames: int, cfg: Config) -> int:
+    """Largest frame count whose audio length divides 2**n_block."""
+    sq = cfg.model.squeeze_factor
+    hop = cfg.audio.hop_size
+    while frames > 0 and (frames * hop) % sq != 0:
+        frames -= 1
+    return frames
+
+
+def synthesize_mels(params, cfg: Config, mels: list[np.ndarray],
+                    seed: int = 0, speaker_ids=None, compute_dtype=None,
+                    temp: float | None = None) -> list[np.ndarray]:
+    """Synthesize a list of [T_mel, num_mels] mels; returns float32 wavs.
+
+    Mels are padded to the longest item and batched through one jitted
+    reverse pass; outputs are cropped back to each true length.
+    """
+    dt = compute_dtype or (jnp.bfloat16
+                           if cfg.train.compute_dtype == "bfloat16"
+                           else jnp.float32)
+    temp = cfg.train.temp if temp is None else temp
+    hop = cfg.audio.hop_size
+    frames = [_usable_frames(m.shape[0], cfg) for m in mels]
+    pad_frames = _usable_frames(max(frames), cfg)
+
+    batch = np.zeros((len(mels), pad_frames, cfg.audio.num_mels), np.float32)
+    for i, m in enumerate(mels):
+        batch[i, : frames[i]] = m[: frames[i]]
+
+    rng = np.random.RandomState(seed)
+    z = rng.randn(len(mels), pad_frames * hop, 1).astype(np.float32) * temp
+    g = (np.asarray(speaker_ids, np.int32)
+         if cfg.model.gin_channels > 0 and speaker_ids is not None else None)
+
+    wav = reverse(params, cfg.model, jnp.asarray(z), jnp.asarray(batch), g,
+                  compute_dtype=dt)
+    wav = np.asarray(wav.astype(jnp.float32))
+    return [wav[i, : frames[i] * hop, 0] for i in range(len(mels))]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="FloWaveNet-TPU synthesis")
+    parser.add_argument("--saved_dir", default="logs/pretrained/")
+    parser.add_argument("--mels_dir", default="mels/")
+    parser.add_argument("--output_dir", default="output/")
+    parser.add_argument("--config", default="lj22k")
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="mels synthesized per reverse pass")
+    parser.add_argument("--temp", type=float, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    cfg = get_config(args.config)
+    params, step = load_params(args.saved_dir, cfg)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    from ..audio.wavio import write_wav
+
+    names = sorted(f for f in os.listdir(args.mels_dir)
+                   if f.endswith(".npy"))
+    if not names:
+        raise FileNotFoundError(f"no .npy mels in {args.mels_dir}")
+    total_samples, total_time = 0, 0.0
+    for i in range(0, len(names), args.batch_size):
+        chunk = names[i : i + args.batch_size]
+        mels = [np.load(os.path.join(args.mels_dir, n)) for n in chunk]
+        t0 = time.time()
+        wavs = synthesize_mels(params, cfg, mels, seed=args.seed + i,
+                               temp=args.temp)
+        dt = time.time() - t0
+        for n, w in zip(chunk, wavs):
+            write_wav(os.path.join(args.output_dir, n[:-4] + ".wav"), w,
+                      cfg.audio.sample_rate)
+            total_samples += len(w)
+        total_time += dt
+        print(f"[{i + len(chunk)}/{len(names)}] {dt:.3f}s")
+    rtf = total_samples / cfg.audio.sample_rate / max(total_time, 1e-9)
+    print(f"Synthesized {total_samples / cfg.audio.sample_rate:.1f}s of "
+          f"audio in {total_time:.2f}s — {rtf:.1f}x real-time "
+          f"(incl. compile)")
+
+
+if __name__ == "__main__":
+    main()

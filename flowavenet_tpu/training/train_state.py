@@ -1,0 +1,86 @@
+"""Train state + jitted SPMD train/eval steps.
+
+The single Adam apply over psum-reduced grads replaces the reference's
+tower-gradient averaging and consolidation device (train.py:35-83,
+utils.py:34-60): with the batch sharded over the 'data' mesh axis and
+params replicated, GSPMD lowers the gradient reduction to an ICI psum.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..models.flowavenet import ddi, forward, init_flowavenet, loss_fn
+from .optimizer import lr_schedule, make_optimizer
+
+
+class TrainState(NamedTuple):
+    step: jax.Array            # int32 scalar
+    params: Any
+    opt_state: Any
+
+
+def create_state(key: jax.Array, cfg: Config) -> TrainState:
+    params = init_flowavenet(key, cfg.model)
+    opt = make_optimizer(cfg.train)
+    return TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                      opt_state=opt.init(params))
+
+
+def _compute_dtype(cfg: Config):
+    return jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" \
+        else jnp.float32
+
+
+def make_train_step(cfg: Config):
+    """Returns train_step(state, batch) -> (state, metrics); jit-able and
+    shardable (donate state for in-place buffer reuse)."""
+    opt = make_optimizer(cfg.train)
+    schedule = lr_schedule(cfg.train)
+    dt = _compute_dtype(cfg)
+
+    def train_step(state: TrainState, batch: dict):
+        g = batch.get("speaker") if cfg.model.gin_channels > 0 else None
+
+        def loss_of(p):
+            return loss_fn(p, cfg.model, batch["audio"], batch["mel"], g,
+                           compute_dtype=dt)
+
+        (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state.params)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {**aux, "grad_global_norm": grad_norm,
+                   "learning_rate": schedule(state.step)}
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: Config):
+    dt = _compute_dtype(cfg)
+
+    def eval_step(params, batch: dict):
+        g = batch.get("speaker") if cfg.model.gin_channels > 0 else None
+        _, aux = loss_fn(params, cfg.model, batch["audio"], batch["mel"], g,
+                         compute_dtype=dt)
+        return aux
+
+    return eval_step
+
+
+def ddi_initialize(state: TrainState, cfg: Config, batch: dict) -> TrainState:
+    """Data-dependent ActNorm init from the first batch, then the usual
+    first optimizer step runs on the updated params — semantics of the
+    reference's init run (train.py:220-230)."""
+    g = batch.get("speaker") if cfg.model.gin_channels > 0 else None
+    new_params = ddi(state.params, cfg.model, batch["audio"], batch["mel"],
+                     g, compute_dtype=jnp.float32)
+    return state._replace(params=new_params)

@@ -1,0 +1,149 @@
+"""Training stack tests: LR schedule parity, checkpoint roundtrip, loss
+decreases, deterministic resume (SURVEY §4 items 3, 6, 7 partly).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowavenet_tpu.checkpoint.checkpoint import (latest_checkpoint,
+                                                  restore_checkpoint,
+                                                  save_checkpoint)
+from flowavenet_tpu.config import (Config, DataConfig, ModelConfig,
+                                   TrainConfig, tiny)
+from flowavenet_tpu.training.optimizer import lr_schedule, make_optimizer
+from flowavenet_tpu.training.train_state import (TrainState, create_state,
+                                                 ddi_initialize,
+                                                 make_eval_step,
+                                                 make_train_step)
+
+CFG = tiny()
+
+
+def _batch(rng, cfg: Config, B=2):
+    T = cfg.data.max_time_steps
+    hop = cfg.audio.hop_size
+    x = 0.2 * np.sin(np.linspace(0, 60, B * T)).reshape(B, T, 1)
+    x = (x + 0.01 * rng.randn(B, T, 1)).astype(np.float32)
+    c = rng.rand(B, T // hop, cfg.model.num_mels).astype(np.float32)
+    return {"audio": x, "mel": c}
+
+
+def test_lr_schedule_matches_reference():
+    # train.py:17-20: 1e-3 | /2 @200k | /4 @400k | /6 @600k
+    sched = lr_schedule(TrainConfig())
+    for step, expected in [(0, 1e-3), (199_999, 1e-3), (200_000, 5e-4),
+                           (399_999, 5e-4), (400_000, 2.5e-4),
+                           (599_999, 2.5e-4), (600_000, 1e-3 / 6),
+                           (1_999_999, 1e-3 / 6)]:
+        np.testing.assert_allclose(float(sched(step)), expected, rtol=1e-6)
+
+
+def test_grad_clipping_applied(rng):
+    opt = make_optimizer(TrainConfig())
+    params = {"w": jnp.ones((4,))}
+    big = {"w": jnp.full((4,), 1e3)}
+    state = opt.init(params)
+    updates, _ = opt.update(big, state, params)
+    # after clip to norm 1, adam normalizes again; just check finiteness and
+    # that the raw 1e3 didn't survive scaling
+    assert np.all(np.abs(np.array(updates["w"])) < 1.0)
+
+
+def test_checkpoint_roundtrip(tmp_path, key, rng):
+    state = create_state(key, CFG)
+    batch = _batch(rng, CFG)
+    state = ddi_initialize(state, CFG, batch)
+    path = save_checkpoint(str(tmp_path), 7, jax.device_get(state))
+    assert latest_checkpoint(str(tmp_path)) == path
+    template = create_state(jax.random.PRNGKey(99), CFG)
+    restored, step = restore_checkpoint(path, template)
+    assert step == 7
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_prune_and_latest(tmp_path, key):
+    state = {"w": jnp.ones((2,))}
+    for s in [1, 2, 3, 4, 5, 6, 7]:
+        save_checkpoint(str(tmp_path), s, state, keep=3)
+    files = sorted(os.listdir(tmp_path))
+    assert files == ["ckpt-5.npz", "ckpt-6.npz", "ckpt-7.npz"]
+    assert latest_checkpoint(str(tmp_path)).endswith("ckpt-7.npz")
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path):
+    save_checkpoint(str(tmp_path), 1, {"w": jnp.ones((2,))})
+    with pytest.raises(ValueError, match="shape mismatch"):
+        restore_checkpoint(latest_checkpoint(str(tmp_path)),
+                           {"w": jnp.ones((3,))})
+
+
+def test_train_step_reduces_loss(key, rng):
+    state = create_state(key, CFG)
+    batch = _batch(rng, CFG)
+    state = ddi_initialize(state, CFG, batch)
+    train_step = jax.jit(make_train_step(CFG))
+    losses = []
+    for _ in range(8):
+        state, metrics = train_step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+
+
+def test_train_eval_consistency(key, rng):
+    state = create_state(key, CFG)
+    batch = _batch(rng, CFG)
+    state = ddi_initialize(state, CFG, batch)
+    eval_step = jax.jit(make_eval_step(CFG))
+    aux = eval_step(state.params, batch)
+    train_step = jax.jit(make_train_step(CFG))
+    _, metrics = train_step(state, batch)
+    # same params, same batch: eval loss == train loss pre-update
+    np.testing.assert_allclose(float(aux["loss"]), float(metrics["loss"]),
+                               rtol=1e-6)
+
+
+def test_deterministic_resume(tmp_path, key, rng):
+    """Train 4 steps; checkpoint at 2; resume from 2 and verify steps 3-4
+    produce bit-identical params (SURVEY §5.3)."""
+    from flowavenet_tpu.data.records import FwRecordWriter
+    from flowavenet_tpu.data.dataset import CropDataset
+
+    # real dataset so the data stream is part of the test
+    p = tmp_path / "train.fwrec"
+    r = np.random.RandomState(0)
+    hop = CFG.audio.hop_size
+    with FwRecordWriter(str(p)) as w:
+        for i in range(3):
+            frames = 40
+            w.write(r.randn(frames * hop).astype(np.float32),
+                    r.rand(frames, CFG.model.num_mels).astype(np.float32))
+    ds = CropDataset(str(p), hop_size=hop,
+                     max_time_steps=CFG.data.max_time_steps, batch_size=2,
+                     seed=5)
+
+    train_step = jax.jit(make_train_step(CFG))
+    state = create_state(key, CFG)
+    state = ddi_initialize(state, CFG, ds.batch_at(0))
+
+    mid = None
+    for step in range(4):
+        if step == 2:
+            mid = jax.device_get(state)
+        state, _ = train_step(state, ds.batch_at(step))
+    final_a = jax.device_get(state.params)
+
+    # resume
+    state_b = TrainState(jnp.asarray(2, jnp.int32), mid.params,
+                         mid.opt_state)
+    for step in range(2, 4):
+        state_b, _ = train_step(state_b, ds.batch_at(step))
+    final_b = jax.device_get(state_b.params)
+    for a, b in zip(jax.tree.leaves(final_a), jax.tree.leaves(final_b)):
+        np.testing.assert_array_equal(a, b)
