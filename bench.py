@@ -5,16 +5,22 @@ Prints ONE JSON line:
    "vs_baseline": M}
 
 value        = kHz of 22.05 kHz audio synthesized per wall-second per chip
-vs_baseline  = x real-time (value / 22.05); reference baseline is 1x real
-               time as the unit (the reference repo publishes no RTF; its
-               only number is 836 ms/utterance on a 2018 GPU,
-               /root/reference/example.ipynb cell 7).
+vs_baseline  = x real-time (value / 22.05).  The reference's only published
+               number is 836 ms wall for one utterance on a 2018 GPU
+               (/root/reference/example.ipynb cell 7); 1x real-time is the
+               unit baseline.
 
-Run flags (env):
-  BENCH_BATCH      batch of utterances per reverse pass   (default 16)
-  BENCH_SECONDS    seconds of audio per utterance         (default 4)
-  BENCH_ITERS      timed iterations                       (default 5)
-  BENCH_CONFIG     config preset                          (default lj22k)
+Measurement notes:
+* z and mel are generated ON DEVICE inside the jitted function and only a
+  scalar checksum is read back — in this environment the TPU is reached
+  through a stdio relay tunnel, so host<->device transfers would otherwise
+  dominate and measure the tunnel, not the chip.  (A production data path
+  keeps mels HBM-resident the same way.)
+* timing uses a scalar readback as the execution fence;
+  ``block_until_ready`` is unreliable on the experimental 'axon' platform.
+
+Env knobs: BENCH_BATCH (16) | BENCH_SECONDS (4) | BENCH_ITERS (5) |
+BENCH_CONFIG (lj22k)
 """
 
 from __future__ import annotations
@@ -50,38 +56,43 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"# device: {dev.device_kind} | model: "
           f"{cfg.model.n_block}x{cfg.model.n_flow} flows | "
-          f"batch {batch} x {T / sr:.2f}s", file=sys.stderr)
+          f"batch {batch} x {T / sr:.2f}s", file=sys.stderr, flush=True)
 
+    t0 = time.time()
     params = init_flowavenet(jax.random.PRNGKey(0), cfg.model)
-    rng = np.random.RandomState(0)
-    z = jnp.asarray(rng.randn(batch, T, 1), jnp.float32) * cfg.train.temp
-    c = jnp.asarray(rng.rand(batch, frames, cfg.model.num_mels), jnp.float32)
+    print(f"# init {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
     @jax.jit
-    def synth(params, z, c):
-        return reverse(params, cfg.model, z, c, compute_dtype=jnp.bfloat16)
+    def synth(params, seed):
+        kz, kc = jax.random.split(jax.random.PRNGKey(seed))
+        z = jax.random.normal(kz, (batch, T, 1), jnp.float32) * cfg.train.temp
+        c = jax.random.uniform(kc, (batch, frames, cfg.model.num_mels),
+                               jnp.float32)
+        wav = reverse(params, cfg.model, z, c, compute_dtype=jnp.bfloat16)
+        w32 = wav.astype(jnp.float32)
+        return jnp.sum(w32 * w32), jnp.sum(jnp.isfinite(w32))
 
-    # warmup / compile
+    # warmup / compile (scalar readback = execution fence)
     t0 = time.time()
-    out = synth(params, z, c)
-    out.block_until_ready()
+    energy, finite = synth(params, 0)
+    energy, finite = float(energy), int(finite)
     compile_s = time.time() - t0
-    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32)))), \
-        "non-finite synthesis output"
+    assert finite == batch * T, f"non-finite synthesis output ({finite})"
 
     times = []
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.time()
-        synth(params, z, c).block_until_ready()
+        e, _ = synth(params, i + 1)
+        float(e)
         times.append(time.time() - t0)
     best = min(times)
 
     samples_per_sec = batch * T / best
     khz = samples_per_sec / 1000.0
     rtf = samples_per_sec / sr
-    print(f"# compile {compile_s:.1f}s | best {best * 1e3:.1f} ms "
-          f"for {batch}x{T / sr:.2f}s | {rtf:.1f}x real-time",
-          file=sys.stderr)
+    print(f"# compile+first {compile_s:.1f}s | best {best * 1e3:.1f} ms "
+          f"for {batch}x{T / sr:.2f}s | {rtf:.1f}x real-time | "
+          f"energy {energy:.1f}", file=sys.stderr, flush=True)
     print(json.dumps({
         "metric": "synthesis_khz_per_sec_per_chip",
         "value": round(khz, 2),

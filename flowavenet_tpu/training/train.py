@@ -50,7 +50,7 @@ def train(cfg: Config, data_dir: str, logdir: str, *, restore: bool = True,
           train_steps: int | None = None, summary_interval: int | None = None,
           checkpoint_interval: int | None = None,
           eval_interval: int | None = None, devices=None,
-          probe_synthesis: bool = True) -> str:
+          probe_synthesis: bool = True, loader: str = "python") -> str:
     t_cfg = cfg.train
     train_steps = train_steps or t_cfg.train_steps
     summary_interval = summary_interval or t_cfg.summary_interval
@@ -66,7 +66,11 @@ def train(cfg: Config, data_dir: str, logdir: str, *, restore: bool = True,
     global_batch = cfg.data.batch_size * n_data
 
     with_speaker = cfg.model.gin_channels > 0
-    dataset = CropDataset(
+    if loader == "native":
+        from ..data.native_loader import NativeCropDataset as DatasetCls
+    else:
+        DatasetCls = CropDataset
+    dataset = DatasetCls(
         os.path.join(data_dir, "train.fwrec"),
         hop_size=cfg.audio.hop_size, max_time_steps=cfg.data.max_time_steps,
         batch_size=global_batch, seed=t_cfg.seed, with_speaker=with_speaker)
@@ -187,6 +191,10 @@ def main(argv=None):
     parser.add_argument("--checkpoint_interval", type=int, default=None)
     parser.add_argument("--eval_interval", type=int, default=None)
     parser.add_argument("--train_steps", type=int, default=None)
+    parser.add_argument("--loader", choices=["python", "native"],
+                        default="python",
+                        help="host input pipeline: pure-python or the C++ "
+                             "fwrec loader (native/)")
     args = parser.parse_args(argv)
 
     cfg = get_config(args.config)
@@ -197,7 +205,7 @@ def main(argv=None):
           train_steps=args.train_steps,
           summary_interval=args.summary_interval,
           checkpoint_interval=args.checkpoint_interval,
-          eval_interval=args.eval_interval)
+          eval_interval=args.eval_interval, loader=args.loader)
 
 
 if __name__ == "__main__":
