@@ -47,6 +47,10 @@ class ModelConfig:
     # conditioning never reaches the coupling nets.  We fix it; set True to
     # reproduce the reference's behaviour bit-for-bit.
     parity_drop_global_cond: bool = False
+    # Route the gated ResBlocks through the fused Pallas TPU kernel on the
+    # inference (reverse) path.  The training path stays on XLA until the
+    # kernel grows a custom VJP.
+    use_pallas: bool = False
 
     @property
     def hop_size(self) -> int:

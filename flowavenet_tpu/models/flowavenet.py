@@ -81,13 +81,15 @@ def actnorm_ddi(x: jax.Array) -> dict:
 # ---------------------------------------------------------------------------
 
 def coupling_forward(p: dict, x: jax.Array, c: jax.Array,
-                     g: Optional[jax.Array], *, affine: bool, causal: bool
+                     g: Optional[jax.Array], *, affine: bool, causal: bool,
+                     use_pallas: bool = False
                      ) -> tuple[jax.Array, jax.Array]:
     in_a, in_b = jnp.split(x, 2, axis=2)
     c_a = jnp.split(c, 2, axis=2)[0]
     g_a = jnp.split(g, 2, axis=2)[0] if g is not None else None
 
-    net_out = apply_wavenet(p, in_a, c_a, g_a, causal=causal)
+    net_out = apply_wavenet(p, in_a, c_a, g_a, causal=causal,
+                            use_pallas=use_pallas)
     if affine:
         log_s, t = jnp.split(net_out, 2, axis=2)
         out_b = (in_b - t) * jnp.exp(-log_s)
@@ -100,12 +102,13 @@ def coupling_forward(p: dict, x: jax.Array, c: jax.Array,
 
 def coupling_reverse(p: dict, x: jax.Array, c: jax.Array,
                      g: Optional[jax.Array], *, affine: bool,
-                     causal: bool) -> jax.Array:
+                     causal: bool, use_pallas: bool = False) -> jax.Array:
     out_a, out_b = jnp.split(x, 2, axis=2)
     c_a = jnp.split(c, 2, axis=2)[0]
     g_a = jnp.split(g, 2, axis=2)[0] if g is not None else None
 
-    net_out = apply_wavenet(p, out_a, c_a, g_a, causal=causal)
+    net_out = apply_wavenet(p, out_a, c_a, g_a, causal=causal,
+                            use_pallas=use_pallas)
     if affine:
         log_s, t = jnp.split(net_out, 2, axis=2)
         in_b = out_b * jnp.exp(log_s) + t
@@ -178,7 +181,8 @@ def _flow_step_rev(cfg: ModelConfig, has_g: bool):
             (x, c), g = carry, None
         x, c = change_order(x), change_order(c)
         x = coupling_reverse(fp["coupling"], x, c, g,
-                             affine=cfg.affine, causal=cfg.causal)
+                             affine=cfg.affine, causal=cfg.causal,
+                             use_pallas=cfg.use_pallas)
         x = actnorm_reverse(fp["actnorm"], x)
         if has_g:
             return (x, c, g), None

@@ -80,23 +80,42 @@ def _fused_fg_kernel(pf: dict, pg: dict) -> tuple[jax.Array, jax.Array]:
     return k, b
 
 
-def _res_layer(h: jax.Array, c: jax.Array, g: Optional[jax.Array],
-               layer: dict, dilation: int, causal: bool,
-               compute_dtype) -> tuple[jax.Array, jax.Array]:
-    """One gated residual unit (modules.py:110-128).
-
-    Returns (residual_out, skip).  residual_out = (h + res)*sqrt(0.5).
-    """
-    r = layer["res"]["b"].shape[0]
-    k, b = _fused_fg_kernel(layer["filter"], layer["gate"])
-    fg = dilated_conv1d(h, k, b, dilation=dilation, causal=causal)
-
+def _cond_fg(c: jax.Array, g: Optional[jax.Array], layer: dict,
+             conv_bias: jax.Array) -> jax.Array:
+    """Conditioning pre-activations + the dilated conv's bias, fused into
+    one [B, T, 2R] tensor added before the gate."""
     kc, bc = _fused_fg_kernel(layer["filter_c"], layer["gate_c"])
-    fg = fg + conv1x1(c, kc, bc)
-
+    fg = conv1x1(c, kc, bc + conv_bias.astype(bc.dtype))
     if g is not None and "filter_g" in layer:
         kg, bg = _fused_fg_kernel(layer["filter_g"], layer["gate_g"])
         fg = fg + conv1x1(g, kg, bg)
+    return fg
+
+
+def _res_layer(h: jax.Array, c: jax.Array, g: Optional[jax.Array],
+               layer: dict, dilation: int, causal: bool,
+               compute_dtype, use_pallas: bool = False
+               ) -> tuple[jax.Array, jax.Array]:
+    """One gated residual unit (modules.py:110-128).
+
+    Returns (residual_out, skip).  residual_out = (h + res)*sqrt(0.5).
+    ``use_pallas`` routes through the fused TPU kernel
+    (ops/pallas_resblock.py); numerics match the XLA path to bf16 rounding.
+    """
+    r = layer["res"]["b"].shape[0]
+    k, b = _fused_fg_kernel(layer["filter"], layer["gate"])
+
+    if use_pallas:
+        from ..ops.pallas_resblock import fused_gated_resblock
+
+        cond = _cond_fg(c, g, layer, b)
+        return fused_gated_resblock(
+            h, cond, k, wn_kernel(layer["res"])[0], layer["res"]["b"],
+            wn_kernel(layer["skip"])[0], layer["skip"]["b"],
+            dilation=dilation, causal=causal)
+
+    fg = dilated_conv1d(h, k, b, dilation=dilation, causal=causal)
+    fg = fg + _cond_fg(c, g, layer, jnp.zeros_like(b))
 
     h_f, h_g = fg[..., :r], fg[..., r:]
     out = jnp.tanh(h_f) * jax.nn.sigmoid(h_g)
@@ -109,7 +128,8 @@ def _res_layer(h: jax.Array, c: jax.Array, g: Optional[jax.Array],
 
 def apply_wavenet(params: dict, x: jax.Array, c: jax.Array,
                   g: Optional[jax.Array] = None, *, causal: bool,
-                  kernel_size: int = 3) -> jax.Array:
+                  kernel_size: int = 3, use_pallas: bool = False
+                  ) -> jax.Array:
     """Coupling net forward (modules.py:161-186).
 
     x: [B, T, in] half-tensor; c: [B, T, Cc] half-condition.
@@ -121,7 +141,8 @@ def apply_wavenet(params: dict, x: jax.Array, c: jax.Array,
     skip_sum = None
     for n, layer in enumerate(params["layers"]):
         h, s = _res_layer(h, c, g, layer, dilation=kernel_size ** n,
-                          causal=causal, compute_dtype=h.dtype)
+                          causal=causal, compute_dtype=h.dtype,
+                          use_pallas=use_pallas)
         skip_sum = s if skip_sum is None else skip_sum + s
 
     out = jax.nn.relu(skip_sum)

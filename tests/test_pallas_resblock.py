@@ -1,0 +1,97 @@
+"""Fused Pallas gated-ResBlock kernel vs the XLA path (interpret mode on
+CPU; the TPU-compiled path is exercised by bench/e2e on hardware)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowavenet_tpu.models.modules import (_cond_fg, _fused_fg_kernel,
+                                           _res_layer, init_wavenet)
+from flowavenet_tpu.ops.conv import wn_kernel
+from flowavenet_tpu.ops.pallas_resblock import fused_gated_resblock
+
+
+def _layer(key, r=16, cc=8):
+    p = init_wavenet(key, in_channels=4, out_channels=8, num_layers=1,
+                     residual_channels=r, cin_channels=cc)
+    return p["layers"][0]
+
+
+@pytest.mark.parametrize("causal,dilation", [(False, 1), (False, 3),
+                                             (True, 1), (True, 3)])
+def test_kernel_matches_xla(key, rng, causal, dilation):
+    r, cc, B, T = 16, 8, 2, 64
+    layer = _layer(key, r, cc)
+    # randomize so outputs are non-trivial
+    layer = jax.tree.map(
+        lambda l: l + jnp.asarray(0.2 * rng.randn(*l.shape), l.dtype), layer)
+    h = jnp.asarray(rng.randn(B, T, r), jnp.float32)
+    c = jnp.asarray(rng.randn(B, T, cc), jnp.float32)
+
+    ref_h, ref_s = _res_layer(h, c, None, layer, dilation=dilation,
+                              causal=causal, compute_dtype=jnp.float32)
+
+    k, b = _fused_fg_kernel(layer["filter"], layer["gate"])
+    cond = _cond_fg(c, None, layer, b)
+    out_h, out_s = fused_gated_resblock(
+        h, cond, k, wn_kernel(layer["res"])[0], layer["res"]["b"],
+        wn_kernel(layer["skip"])[0], layer["skip"]["b"],
+        dilation=dilation, causal=causal, t_tile=32, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref_h),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref_s),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_tile_fallback(key, rng):
+    # T not divisible by the requested tile: kernel halves the tile
+    r, cc, B, T = 8, 4, 1, 48
+    layer = _layer(key, r, cc)
+    h = jnp.asarray(rng.randn(B, T, r), jnp.float32)
+    c = jnp.asarray(rng.randn(B, T, cc), jnp.float32)
+    k, b = _fused_fg_kernel(layer["filter"], layer["gate"])
+    cond = _cond_fg(c, None, layer, b)
+    out_h, out_s = fused_gated_resblock(
+        h, cond, k, wn_kernel(layer["res"])[0], layer["res"]["b"],
+        wn_kernel(layer["skip"])[0], layer["skip"]["b"],
+        dilation=1, causal=False, t_tile=32, interpret=True)
+    ref_h, ref_s = _res_layer(h, c, None, layer, dilation=1, causal=False,
+                              compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref_h),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_reverse_path_with_pallas_interpret(key, rng, monkeypatch):
+    """Full model reverse with use_pallas=True (interpret mode) must invert
+    forward exactly like the XLA path."""
+    import flowavenet_tpu.ops.pallas_resblock as pr
+
+    orig = pr.fused_gated_resblock
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pr, "fused_gated_resblock", interp)
+
+    from flowavenet_tpu.config import ModelConfig
+    from flowavenet_tpu.models.flowavenet import init_flowavenet, reverse
+
+    cfg_x = ModelConfig(n_block=2, n_flow=2, n_layer=2, filter_size=16,
+                        num_mels=8, upsample_scales=(4, 4))
+    cfg_p = ModelConfig(n_block=2, n_flow=2, n_layer=2, filter_size=16,
+                        num_mels=8, upsample_scales=(4, 4), use_pallas=True)
+    params = init_flowavenet(key, cfg_x)
+    params = jax.tree.map(
+        lambda l: l + jnp.asarray(0.1 * rng.randn(*l.shape), l.dtype),
+        params)
+    z = jnp.asarray(rng.randn(1, 256, 1), jnp.float32)
+    c = jnp.asarray(rng.rand(1, 16, 8), jnp.float32)
+    wav_x = reverse(params, cfg_x, z, c)
+    wav_p = reverse(params, cfg_p, z, c)
+    np.testing.assert_allclose(np.asarray(wav_p), np.asarray(wav_x),
+                               rtol=1e-4, atol=1e-5)
