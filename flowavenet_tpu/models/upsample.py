@@ -40,9 +40,80 @@ def _wn_kernel_t(p: dict) -> jax.Array:
     return v * jax.lax.rsqrt(jnp.maximum(sq, _WN_EPS)) * p["g"].astype(jnp.float32)
 
 
-def apply_upsample(params: list[dict], c: jax.Array, scales) -> jax.Array:
-    """c: [B, T_mel, n_mels] -> [B, T_mel * prod(scales), n_mels]."""
+import numpy as np
+
+
+def _subpixel_plan(kh: int, s: int):
+    """Static index plan for one transposed-conv scale.
+
+    TF conv2d_transpose SAME with stride s, kernel height kh over an
+    H-divisible input: y[o] = sum_h K[h] * x[(o + pad_top - h)/s] for h with
+    (o + pad_top - h) % s == 0, pad_top = (kh - s)//2 (the forward conv's
+    SAME top padding).  For o = i*s + p this gives per-phase taps
+    (h, frame offset d).  Returns (offsets list, W[p, d_idx] -> h or -1).
+    """
+    pad_top = (kh - s) // 2
+    taps = []  # (p, h, d)
+    for p in range(s):
+        h0 = (p + pad_top) % s
+        for h in range(h0, kh, s):
+            d = (p + pad_top - h) // s
+            taps.append((p, h, d))
+    offsets = sorted({d for _, _, d in taps})
+    idx = np.full((s, len(offsets)), -1, np.int64)
+    for p, h, d in taps:
+        idx[p, offsets.index(d)] = h
+    return offsets, idx
+
+
+def _subpixel_upsample(x: jax.Array, kern: jax.Array, s: int) -> jax.Array:
+    """One transposed-conv scale as a phase matmul.
+
+    x: [B, H, W]; kern: [kh, 3] (out=in=1 squeezed).  Output [B, H*s, W].
+    Bit-matches jax.lax.conv_transpose/TF SAME (tests/test_upsample.py).
+    """
+    kh = kern.shape[0]
+    offsets, idx = _subpixel_plan(kh, s)
+    B, H, W = x.shape
+    dtype = x.dtype
+
+    # unfold frame offsets (zero-padded edges) and the 3-tap W window
+    d_lo, d_hi = -min(offsets), max(offsets)
+    xp = jnp.pad(x, ((0, 0), (d_lo, d_hi), (0, 0)))
+    xw = jnp.pad(xp, ((0, 0), (0, 0), (1, 1)))
+    # frames[b, i, di, u, w] = x[b, i + offsets[di], w + 1 - u]
+    # (same transposed-conv relation as the H axis: tap h reads input
+    # o + pad - h, i.e. the kernel is applied flipped)
+    frames = jnp.stack(
+        [jnp.stack([jax.lax.dynamic_slice(
+            xw, (0, d + d_lo, 2 - u), (B, H, W)) for u in range(3)], axis=2)
+         for d in offsets], axis=2)              # [B, H, D, 3, W]
+
+    # weights[p, di, u] = K[idx[p, di], u] (0 where no tap)
+    kpad = jnp.concatenate([kern, jnp.zeros((1, 3), kern.dtype)], axis=0)
+    wsub = kpad[idx]                              # [s, D, 3] (idx -1 -> 0 row)
+    y = jnp.einsum("bhduw,pdu->bhpw", frames, wsub.astype(dtype),
+                   preferred_element_type=jnp.float32).astype(dtype)
+    return y.reshape(B, H * s, W)
+
+
+def apply_upsample(params: list[dict], c: jax.Array, scales,
+                   impl: str = "subpixel") -> jax.Array:
+    """c: [B, T_mel, n_mels] -> [B, T_mel * prod(scales), n_mels].
+
+    impl='subpixel' (default) lowers each scale to one phase matmul — the
+    1-channel transposed conv maps terribly onto TPU conv units;
+    impl='conv_transpose' keeps the XLA op for cross-checking.
+    """
     dtype = c.dtype
+    if impl == "subpixel":
+        h = c
+        for p, s in zip(params, scales):
+            k2 = _wn_kernel_t(p)[:, :, 0, 0].astype(dtype)   # [2s, 3]
+            h = _subpixel_upsample(h, k2, s)
+            h = h + p["b"].astype(dtype)
+            h = jax.nn.leaky_relu(h, 0.4)
+        return h
     h = c[..., None]  # [B, T_mel, n_mels, 1]
     for p, s in zip(params, scales):
         k = _wn_kernel_t(p).astype(dtype)

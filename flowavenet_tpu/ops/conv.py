@@ -70,6 +70,19 @@ def wn_kernel(p: dict) -> jax.Array:
     return v * jax.lax.rsqrt(jnp.maximum(sq, _WN_EPS)) * p["g"].astype(jnp.float32)
 
 
+# How k>1 dilated convs are computed: 'conv' = XLA conv_general_dilated;
+# 'matmul' = im2col-style shifted-taps einsum, a single [B*T, K*Cin] x
+# [K*Cin, Cout] MXU matmul.  The model's convs have tiny spatial extent
+# (k=3) and big channel counts, where the matmul form keeps the MXU full.
+_CONV_IMPL = "matmul"
+
+
+def set_conv_impl(impl: str) -> None:
+    global _CONV_IMPL
+    assert impl in ("conv", "matmul"), impl
+    _CONV_IMPL = impl
+
+
 def dilated_conv1d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array],
                    dilation: int = 1, causal: bool = False) -> jax.Array:
     """Explicit-padding dilated conv matching modules.py:24-33.
@@ -79,16 +92,27 @@ def dilated_conv1d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array],
     non-causal: symmetric pad d*(k-1)//2 (odd kernels only, as in reference).
     """
     k = kernel.shape[0]
-    pad = dilation * (k - 1)
-    padding = [(pad, 0)] if causal else [(pad // 2, pad - pad // 2)]
     dtype = x.dtype
-    out = jax.lax.conv_general_dilated(
-        x, kernel.astype(dtype),
-        window_strides=(1,), padding=padding,
-        rhs_dilation=(dilation,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(dtype)
+    pad = dilation * (k - 1)
+    if k > 1 and _CONV_IMPL == "matmul":
+        pads = (pad, 0) if causal else (pad // 2, pad - pad // 2)
+        xp = jnp.pad(x, ((0, 0), pads, (0, 0)))
+        T = x.shape[1]
+        taps = jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(xp, j * dilation, T, axis=1)
+             for j in range(k)], axis=-1)                  # [B, T, K*Cin]
+        w = kernel.astype(dtype).reshape(-1, kernel.shape[-1])
+        out = jnp.einsum("btc,cd->btd", taps, w,
+                         preferred_element_type=jnp.float32).astype(dtype)
+    else:
+        padding = [(pad, 0)] if causal else [(pad // 2, pad - pad // 2)]
+        out = jax.lax.conv_general_dilated(
+            x, kernel.astype(dtype),
+            window_strides=(1,), padding=padding,
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
     if bias is not None:
         out = out + bias.astype(dtype)
     return out

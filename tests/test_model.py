@@ -180,3 +180,38 @@ def test_jit_and_grad(key, rng):
     # zero-init since the conv output is 0 — true in the reference too)
     g_w = grads["blocks"][0]["flows"]["coupling"]["zero"]["w"]
     assert float(jnp.abs(g_w).sum()) > 0
+
+
+def test_pair_scan_matches_generic(key, rng):
+    """The pair-scan fast path must match the generic change_order path
+    exactly (same flows, same params)."""
+    import jax.numpy as jnp
+    from flowavenet_tpu.models.flowavenet import (_flow_step_fwd,
+                                                  _flow_step_rev,
+                                                  block_forward,
+                                                  block_reverse)
+    from flowavenet_tpu.ops.squeeze import squeeze
+
+    cfg = CFG  # n_flow = 2 (even) -> block_* use the pair path
+    params = _randomized_params(key, cfg, rng)
+    bp = params["blocks"][0]
+    x = jnp.asarray(rng.randn(2, 512, 1), jnp.float32)
+    c = jnp.asarray(rng.randn(2, 512, cfg.num_mels), jnp.float32)
+
+    out, c_out, _, ld = block_forward(bp, cfg, x, c, None)
+
+    # generic path, run manually
+    xs, cs = squeeze(x), squeeze(c)
+    (xg, cg), lds = jax.lax.scan(_flow_step_fwd(cfg, False), (xs, cs),
+                                 bp["flows"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xg),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_out), np.asarray(cg),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(ld), float(jnp.sum(lds)), rtol=1e-5)
+
+    # and reverse inverts forward through the pair path
+    xr, _, _ = block_reverse(bp, cfg, out, c_out, None)
+    from flowavenet_tpu.ops.squeeze import unsqueeze
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(unsqueeze(xs)),
+                               rtol=1e-4, atol=1e-4)
