@@ -94,18 +94,22 @@ def _cond_fg(c: jax.Array, g: Optional[jax.Array], layer: dict,
 
 def _res_layer(h: jax.Array, c: jax.Array, g: Optional[jax.Array],
                layer: dict, dilation: int, causal: bool,
-               compute_dtype, use_pallas: bool = False
-               ) -> tuple[jax.Array, jax.Array]:
+               compute_dtype, use_pallas: bool = False,
+               need_residual: bool = True
+               ) -> tuple[Optional[jax.Array], jax.Array]:
     """One gated residual unit (modules.py:110-128).
 
     Returns (residual_out, skip).  residual_out = (h + res)*sqrt(0.5).
+    ``need_residual=False`` (last layer of the stack) skips the res
+    projection entirely — its output is discarded by the WaveNet head, the
+    reference just computes it anyway (modules.py:126-128).
     ``use_pallas`` routes through the fused TPU kernel
     (ops/pallas_resblock.py); numerics match the XLA path to bf16 rounding.
     """
     r = layer["res"]["b"].shape[0]
     k, b = _fused_fg_kernel(layer["filter"], layer["gate"])
 
-    if use_pallas:
+    if use_pallas and need_residual:
         from ..ops.pallas_resblock import fused_gated_resblock
 
         cond = _cond_fg(c, g, layer, b)
@@ -120,8 +124,10 @@ def _res_layer(h: jax.Array, c: jax.Array, g: Optional[jax.Array],
     h_f, h_g = fg[..., :r], fg[..., r:]
     out = jnp.tanh(h_f) * jax.nn.sigmoid(h_g)
 
-    res = conv1x1(out, wn_kernel(layer["res"]), layer["res"]["b"])
     skip = conv1x1(out, wn_kernel(layer["skip"]), layer["skip"]["b"])
+    if not need_residual:
+        return None, skip
+    res = conv1x1(out, wn_kernel(layer["res"]), layer["res"]["b"])
     h = (h + res) * jnp.asarray(SQRT_HALF, dtype=h.dtype)
     return h, skip
 
@@ -139,10 +145,12 @@ def apply_wavenet(params: dict, x: jax.Array, c: jax.Array,
     h = jax.nn.relu(h)
 
     skip_sum = None
+    n_layers = len(params["layers"])
     for n, layer in enumerate(params["layers"]):
         h, s = _res_layer(h, c, g, layer, dilation=kernel_size ** n,
                           causal=causal, compute_dtype=h.dtype,
-                          use_pallas=use_pallas)
+                          use_pallas=use_pallas,
+                          need_residual=n + 1 < n_layers)
         skip_sum = s if skip_sum is None else skip_sum + s
 
     out = jax.nn.relu(skip_sum)

@@ -38,16 +38,23 @@ from jax.experimental.pallas import tpu as pltpu
 SQRT_HALF = math.sqrt(0.5)
 
 
+# Halo rows DMA'd beyond each tile.  Must be a sublane multiple: Mosaic's
+# remote compiler crashes on odd-sized scratch windows (t_tile + 2d), so the
+# window is padded to HALO and the input right-padded to match.  Supports
+# dilations up to HALO//2.
+HALO = 32
+
+
 def _resblock_kernel(hpad_ref, cond_ref, h_ref, wconv_ref, wres_ref,
                      bres_ref, wskip_ref, bskip_ref, hnew_ref, skip_ref,
                      scratch, sem, *, dilation: int, t_tile: int):
     b = pl.program_id(0)
     ti = pl.program_id(1)
 
-    # DMA tile + halo from HBM: h_pad[b, ti*t_tile : ti*t_tile + t_tile+2d, :]
+    # DMA tile + halo from HBM: h_pad[b, ti*t_tile : ti*t_tile+t_tile+HALO, :]
     start = ti * t_tile
     dma = pltpu.make_async_copy(
-        hpad_ref.at[b, pl.ds(start, t_tile + 2 * dilation), :],
+        hpad_ref.at[b, pl.ds(start, t_tile + HALO), :],
         scratch, sem)
     dma.start()
     dma.wait()
@@ -74,13 +81,106 @@ def _resblock_kernel(hpad_ref, cond_ref, h_ref, wconv_ref, wres_ref,
         skip_ref.dtype)
 
 
-def fused_gated_resblock(h: jax.Array, cond_fg: jax.Array,
-                         w_conv: jax.Array, w_res: jax.Array,
-                         b_res: jax.Array, w_skip: jax.Array,
-                         b_skip: jax.Array, *, dilation: int, causal: bool,
-                         t_tile: int = 512,
-                         interpret: bool = False
-                         ) -> tuple[jax.Array, jax.Array]:
+def _dilated_conv_taps(h: jax.Array, w_conv: jax.Array, dilation: int,
+                       causal: bool) -> jax.Array:
+    """XLA reference math for the kernel's conv: y[t] = sum_k x_pad[t+kd] W[k]."""
+    d = dilation
+    pads = (2 * d, 0) if causal else (d, d)
+    hp = jnp.pad(h, ((0, 0), pads, (0, 0)))
+    T = h.shape[1]
+    return sum(
+        jnp.einsum("btc,cd->btd",
+                   jax.lax.dynamic_slice_in_dim(hp, k * d, T, axis=1),
+                   w_conv[k].astype(h.dtype),
+                   preferred_element_type=jnp.float32)
+        for k in range(3))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _fgr(h, cond_fg, w_conv, w_res, b_res, w_skip, b_skip,
+         dilation, causal, t_tile, interpret):
+    return _fused_forward(h, cond_fg, w_conv, w_res, b_res, w_skip, b_skip,
+                          dilation=dilation, causal=causal, t_tile=t_tile,
+                          interpret=interpret)
+
+
+def fused_gated_resblock(h, cond_fg, w_conv, w_res, b_res, w_skip, b_skip,
+                         *, dilation, causal, t_tile=512, interpret=False):
+    """Differentiable fused resblock: Pallas forward, XLA backward with
+    recomputation (flash-style — fg/gated are not stored)."""
+    return _fgr(h, cond_fg, w_conv, w_res, b_res, w_skip, b_skip,
+                dilation, causal, t_tile, interpret)
+
+
+def _fgr_fwd(h, cond_fg, w_conv, w_res, b_res, w_skip, b_skip, dilation,
+             causal, t_tile, interpret):
+    out = _fused_forward(h, cond_fg, w_conv, w_res, b_res, w_skip, b_skip,
+                         dilation=dilation, causal=causal, t_tile=t_tile,
+                         interpret=interpret)
+    return out, (h, cond_fg, w_conv, w_res, w_skip)
+
+
+def _fgr_bwd(dilation, causal, t_tile, interpret, residuals, grads):
+    h, cond_fg, w_conv, w_res, w_skip = residuals
+    dh_new, dskip = grads
+    r = w_res.shape[0]
+    f32 = jnp.float32
+
+    # recompute forward intermediates
+    fg = _dilated_conv_taps(h, w_conv, dilation, causal) \
+        + cond_fg.astype(f32)
+    tf_ = jnp.tanh(fg[..., :r])
+    sg = jax.nn.sigmoid(fg[..., r:])
+    gated = tf_ * sg
+
+    dres = dh_new.astype(f32) * SQRT_HALF
+    dh = dres.astype(h.dtype)
+    dgated = (jnp.einsum("btd,rd->btr", dres, w_res.astype(f32))
+              + jnp.einsum("bts,rs->btr", dskip.astype(f32),
+                           w_skip.astype(f32)))
+    dw_res = jnp.einsum("btr,btd->rd", gated, dres).astype(w_res.dtype)
+    db_res = jnp.sum(dres, axis=(0, 1))
+    dw_skip = jnp.einsum("btr,bts->rs", gated,
+                         dskip.astype(f32)).astype(w_skip.dtype)
+    db_skip = jnp.sum(dskip.astype(f32), axis=(0, 1))
+
+    df = dgated * sg * (1.0 - tf_ * tf_)
+    dg = dgated * gated * (1.0 - sg)
+    dfg = jnp.concatenate([df, dg], axis=-1)
+    dcond = dfg.astype(cond_fg.dtype)
+
+    # grad through the 3-tap conv: scatter back with flipped taps
+    d = dilation
+    T = h.shape[1]
+    pads = (2 * d, 0) if causal else (d, d)
+    dhp = jnp.zeros((h.shape[0], T + 2 * d, h.shape[2]), f32)
+    dw_conv = []
+    hp = jnp.pad(h, ((0, 0), pads, (0, 0))).astype(f32)
+    for k in range(3):
+        dhp = jax.lax.dynamic_update_slice_in_dim(
+            dhp,
+            jax.lax.dynamic_slice_in_dim(dhp, k * d, T, axis=1)
+            + jnp.einsum("btd,cd->btc", dfg, w_conv[k].astype(f32)),
+            k * d, axis=1)
+        dw_conv.append(jnp.einsum(
+            "btc,btd->cd",
+            jax.lax.dynamic_slice_in_dim(hp, k * d, T, axis=1), dfg))
+    dh = dh + jax.lax.dynamic_slice_in_dim(
+        dhp, pads[0], T, axis=1).astype(h.dtype)
+    dw_conv = jnp.stack(dw_conv).astype(w_conv.dtype)
+    return (dh, dcond, dw_conv, dw_res, db_res, dw_skip, db_skip)
+
+
+_fgr.defvjp(_fgr_fwd, _fgr_bwd)
+
+
+def _fused_forward(h: jax.Array, cond_fg: jax.Array,
+                   w_conv: jax.Array, w_res: jax.Array,
+                   b_res: jax.Array, w_skip: jax.Array,
+                   b_skip: jax.Array, *, dilation: int, causal: bool,
+                   t_tile: int = 512,
+                   interpret: bool = False
+                   ) -> tuple[jax.Array, jax.Array]:
     """Fused (h_new, skip) for one gated ResBlock.
 
     h: [B, T, R]; cond_fg: [B, T, 2R] (conditioning + conv biases already
@@ -89,11 +189,11 @@ def fused_gated_resblock(h: jax.Array, cond_fg: jax.Array,
     B, T, R = h.shape
     S = w_skip.shape[-1]
     d = dilation
-    pad = 2 * d
+    assert 2 * d <= HALO, f"dilation {d} exceeds HALO//2={HALO // 2}"
     if causal:
-        h_pad = jnp.pad(h, ((0, 0), (pad, 0), (0, 0)))
+        h_pad = jnp.pad(h, ((0, 0), (2 * d, HALO - 2 * d), (0, 0)))
     else:
-        h_pad = jnp.pad(h, ((0, 0), (d, d), (0, 0)))
+        h_pad = jnp.pad(h, ((0, 0), (d, HALO - d), (0, 0)))
 
     t_tile = min(t_tile, T)
     if T % t_tile != 0:
@@ -138,7 +238,7 @@ def fused_gated_resblock(h: jax.Array, cond_fg: jax.Array,
             jax.ShapeDtypeStruct((B, T, S), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((t_tile + pad, R), dtype),
+            pltpu.VMEM((t_tile + HALO, R), dtype),
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(

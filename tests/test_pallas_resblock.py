@@ -95,3 +95,43 @@ def test_reverse_path_with_pallas_interpret(key, rng, monkeypatch):
     wav_p = reverse(params, cfg_p, z, c)
     np.testing.assert_allclose(np.asarray(wav_p), np.asarray(wav_x),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_custom_vjp_matches_xla_grads(key, rng):
+    """Grads through the fused kernel (Pallas fwd interpret + XLA bwd with
+    recompute) must match autodiff through the plain XLA path."""
+    r, cc, B, T = 16, 8, 2, 64
+    layer = _layer(key, r, cc)
+    layer = jax.tree.map(
+        lambda l: l + jnp.asarray(0.2 * rng.randn(*l.shape), l.dtype), layer)
+    h = jnp.asarray(rng.randn(B, T, r), jnp.float32)
+    c = jnp.asarray(rng.randn(B, T, cc), jnp.float32)
+    k, b = _fused_fg_kernel(layer["filter"], layer["gate"])
+    cond = _cond_fg(c, None, layer, b)
+    wr, br = wn_kernel(layer["res"])[0], layer["res"]["b"]
+    ws, bs = wn_kernel(layer["skip"])[0], layer["skip"]["b"]
+
+    def loss_fused(args):
+        h_, cond_, k_, wr_, br_, ws_, bs_ = args
+        hn, sk = fused_gated_resblock(h_, cond_, k_, wr_, br_, ws_, bs_,
+                                      dilation=3, causal=False, t_tile=32,
+                                      interpret=True)
+        return jnp.sum(hn * hn) + jnp.sum(jnp.sin(sk))
+
+    def loss_xla(args):
+        h_, cond_, k_, wr_, br_, ws_, bs_ = args
+        import flowavenet_tpu.ops.pallas_resblock as pr
+        fg = pr._dilated_conv_taps(h_, k_, 3, False) + cond_
+        gated = jnp.tanh(fg[..., :r]) * jax.nn.sigmoid(fg[..., r:])
+        res = jnp.einsum("btr,rd->btd", gated, wr_) + br_
+        hn = (h_ + res) * np.sqrt(0.5)
+        sk = jnp.einsum("btr,rs->bts", gated, ws_) + bs_
+        return jnp.sum(hn * hn) + jnp.sum(jnp.sin(sk))
+
+    args = (h, cond, k, wr, br, ws, bs)
+    va, ga = jax.value_and_grad(loss_fused)(args)
+    vb, gb = jax.value_and_grad(loss_xla)(args)
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-5)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-4)
