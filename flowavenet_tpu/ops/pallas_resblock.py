@@ -195,14 +195,16 @@ def _fused_forward(h: jax.Array, cond_fg: jax.Array,
     else:
         h_pad = jnp.pad(h, ((0, 0), (d, HALO - d), (0, 0)))
 
-    t_tile = min(t_tile, T)
-    if T % t_tile != 0:
-        # fall back to a tile size that divides T (T is a power-of-two times
-        # the mel hop in this model, so this terminates quickly)
+    if T <= 2 * t_tile:
+        # short sequences (late blocks): one tile per batch program —
+        # sub-128-row tiles explode Mosaic compile time and starve the MXU
+        t_tile = T
+    elif T % t_tile != 0:
+        # fall back to a tile size that divides T, but never below 128 rows
         t = t_tile
-        while T % t != 0:
+        while T % t != 0 and t > 128:
             t //= 2
-        t_tile = max(t, 1)
+        t_tile = t if T % t == 0 else T
     n_t = T // t_tile
 
     dtype = h.dtype

@@ -50,7 +50,8 @@ def train(cfg: Config, data_dir: str, logdir: str, *, restore: bool = True,
           train_steps: int | None = None, summary_interval: int | None = None,
           checkpoint_interval: int | None = None,
           eval_interval: int | None = None, devices=None,
-          probe_synthesis: bool = True, loader: str = "python") -> str:
+          probe_synthesis: bool = True, loader: str = "python",
+          tensorboard: bool = False, profile_steps: int = 0) -> str:
     t_cfg = cfg.train
     train_steps = train_steps or t_cfg.train_steps
     summary_interval = summary_interval or t_cfg.summary_interval
@@ -60,6 +61,13 @@ def train(cfg: Config, data_dir: str, logdir: str, *, restore: bool = True,
     save_dir = os.path.join(logdir, "pretrained")
     writer = MetricsWriter(os.path.join(logdir, "train"))
     test_writer = MetricsWriter(os.path.join(logdir, "test"))
+    tb = None
+    if tensorboard:
+        from .tb_writer import maybe_tb_writer
+        tb = maybe_tb_writer(os.path.join(logdir, "train"))
+        if tb is None:
+            print("tensorboard writer unavailable (no tensorflow); "
+                  "JSONL metrics only")
 
     mesh = make_mesh(cfg.mesh, devices)
     n_data = mesh.shape[cfg.mesh.data_axis]
@@ -117,12 +125,21 @@ def train(cfg: Config, data_dir: str, logdir: str, *, restore: bool = True,
     with mesh:
         step = start_step
         data_iter = dataset.iterate(start_step=start_step)
+        profiling = False
         while step < train_steps:
+            if profile_steps and step == start_step + 1 and not profiling:
+                # skip the compile step, then trace a few steady-state steps
+                jax.profiler.start_trace(os.path.join(logdir, "profile"))
+                profiling = True
             t0 = time.time()
             batch = put_batch(next(data_iter))
             state, metrics = train_step(state, batch)
             step = int(state.step)
             dt = time.time() - t0
+            if profiling and step >= start_step + 1 + profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"\nprofile trace written to {logdir}/profile")
             print(format_step(step, dt, metrics), end="\r")
 
             if step % summary_interval == 0 or step == 1:
@@ -131,9 +148,12 @@ def train(cfg: Config, data_dir: str, logdir: str, *, restore: bool = True,
                 metrics["samples_per_sec"] = (global_batch
                                               * dataset.time_crop / dt)
                 writer.scalars(step, metrics)
+                if tb is not None:
+                    tb.scalars(step, metrics)
                 if test_dataset is not None:
-                    tb = put_batch(test_dataset.batch_at(step))
-                    test_writer.scalars(step, eval_step(state.params, tb))
+                    eval_batch = put_batch(test_dataset.batch_at(step))
+                    test_writer.scalars(
+                        step, eval_step(state.params, eval_batch))
                 print()
 
             if step % checkpoint_interval == 0 or step == train_steps:
@@ -195,6 +215,11 @@ def main(argv=None):
                         default="python",
                         help="host input pipeline: pure-python or the C++ "
                              "fwrec loader (native/)")
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="also mirror metrics into TB event files "
+                             "(needs tensorflow)")
+    parser.add_argument("--profile_steps", type=int, default=0,
+                        help="trace N steady-state steps with jax.profiler")
     args = parser.parse_args(argv)
 
     cfg = get_config(args.config)
@@ -205,7 +230,8 @@ def main(argv=None):
           train_steps=args.train_steps,
           summary_interval=args.summary_interval,
           checkpoint_interval=args.checkpoint_interval,
-          eval_interval=args.eval_interval, loader=args.loader)
+          eval_interval=args.eval_interval, loader=args.loader,
+          tensorboard=args.tensorboard, profile_steps=args.profile_steps)
 
 
 if __name__ == "__main__":

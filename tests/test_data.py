@@ -165,3 +165,39 @@ def test_preprocessing_end_to_end(tmp_path):
                      max_time_steps=1024, batch_size=2)
     b = ds.batch_at(0)
     assert b["audio"].shape == (2, 1024, 1)
+
+
+def test_preprocessing_multi_speaker_end_to_end(tmp_path):
+    """Multi-speaker corpus layout (in_dir/speaker/book) with gin enabled:
+    speakers.txt written, speaker ids propagated into records."""
+    from flowavenet_tpu.audio.preprocessing import preprocess
+    from flowavenet_tpu.config import AudioConfig, Config, DataConfig, ModelConfig
+
+    cfg = Config(audio=AudioConfig(sample_rate=8000, n_fft=256, hop_size=64,
+                                   fmin=50, fmax=3800),
+                 model=ModelConfig(gin_channels=16, n_speakers=2),
+                 data=DataConfig(test_size=1))
+    rng = np.random.RandomState(0)
+    for s, speaker in enumerate(["alice", "bob"]):
+        book = tmp_path / "corpus" / speaker / "book1"
+        (book / "wavs").mkdir(parents=True)
+        lines = []
+        for i in range(3):
+            wav = 0.3 * np.sin(np.linspace(0, 60 + s * 20, 4000)
+                               ).astype(np.float32)
+            write_wav(str(book / "wavs" / f"u{i}.wav"), wav, 8000)
+            lines.append(f"u{i}|x|text")
+        (book / "metadata.csv").write_text("\n".join(lines))
+
+    out = tmp_path / "out"
+    preprocess(str(tmp_path / "corpus"), str(out), cfg, num_workers=1)
+    speakers = (out / "speakers.txt").read_text().strip().split("\n")
+    assert speakers == ["alice - 0", "bob - 1"]
+    r = FwRecordReader(str(out / "train.fwrec"))
+    sids = {r.read(i)[2] for i in range(len(r))}
+    assert sids <= {0, 1} and len(sids) == 2
+    # trainable with speakers through CropDataset
+    ds = CropDataset(str(out / "train.fwrec"), hop_size=64,
+                     max_time_steps=512, batch_size=4, with_speaker=True)
+    b = ds.batch_at(0)
+    assert set(np.unique(b["speaker"])) <= {0, 1}

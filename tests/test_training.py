@@ -147,3 +147,13 @@ def test_deterministic_resume(tmp_path, key, rng):
     final_b = jax.device_get(state_b.params)
     for a, b in zip(jax.tree.leaves(final_a), jax.tree.leaves(final_b)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_checkpoint_survives_partial_tmp(tmp_path):
+    """A crashed save (leftover .tmp) must not break restore-latest."""
+    save_checkpoint(str(tmp_path), 3, {"w": jnp.ones((2,))})
+    (tmp_path / "garbage.tmp").write_bytes(b"\x00" * 100)
+    assert latest_checkpoint(str(tmp_path)).endswith("ckpt-3.npz")
+    tree, step = restore_checkpoint(latest_checkpoint(str(tmp_path)),
+                                    {"w": jnp.zeros((2,))})
+    assert step == 3 and float(np.asarray(tree["w"]).sum()) == 2.0
