@@ -107,13 +107,15 @@ def dilated_conv1d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array],
                          preferred_element_type=jnp.float32).astype(dtype)
     else:
         padding = [(pad, 0)] if causal else [(pad // 2, pad - pad // 2)]
+        # no preferred_element_type: jax 0.9's conv transpose (autodiff)
+        # rule rejects mixed f32-cotangent/bf16-operand; TPU accumulates
+        # bf16 convs in fp32 natively anyway
         out = jax.lax.conv_general_dilated(
             x, kernel.astype(dtype),
             window_strides=(1,), padding=padding,
             rhs_dilation=(dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
+        )
     if bias is not None:
         out = out + bias.astype(dtype)
     return out

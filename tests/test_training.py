@@ -157,3 +157,21 @@ def test_checkpoint_survives_partial_tmp(tmp_path):
     tree, step = restore_checkpoint(latest_checkpoint(str(tmp_path)),
                                     {"w": jnp.zeros((2,))})
     assert step == 3 and float(np.asarray(tree["w"]).sum()) == 2.0
+
+
+def test_bf16_train_step(key, rng):
+    """bf16-compute training must compile and step (regression: jax 0.9's
+    conv transpose rule rejects preferred_element_type mixing)."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        CFG, train=dataclasses.replace(CFG.train, compute_dtype="bfloat16"))
+    state = create_state(key, cfg)
+    batch = _batch(rng, cfg)
+    state = ddi_initialize(state, cfg, batch)
+    step = jax.jit(make_train_step(cfg))
+    for _ in range(2):
+        state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    # params stay fp32
+    assert all(l.dtype == jnp.float32 or l.dtype == jnp.int32
+               for l in jax.tree.leaves(state.params))
