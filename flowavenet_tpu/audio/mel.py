@@ -19,7 +19,7 @@ Two implementations with identical semantics:
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import numpy as np
 

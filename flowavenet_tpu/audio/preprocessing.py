@@ -18,7 +18,6 @@ from __future__ import annotations
 import argparse
 import os
 from concurrent.futures import ProcessPoolExecutor
-from functools import partial
 from multiprocessing import cpu_count
 
 import numpy as np

@@ -24,7 +24,6 @@ logdet = mean(-log_s)/2 (model.py:135); squeeze layout channel=2c+p
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax

@@ -15,8 +15,6 @@ the reference; with filters == in == 1 all interpretations coincide).
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 

@@ -8,15 +8,14 @@ params replicated, GSPMD lowers the gradient reduction to an ICI psum.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from ..config import Config
-from ..models.flowavenet import ddi, forward, init_flowavenet, loss_fn
+from ..models.flowavenet import ddi, init_flowavenet, loss_fn
 from .optimizer import lr_schedule, make_optimizer
 
 
