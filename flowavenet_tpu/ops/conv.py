@@ -12,6 +12,7 @@ Dilated convs lower to XLA ``conv_general_dilated`` which tiles onto the MXU;
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -84,6 +85,54 @@ def set_conv_impl(impl: str) -> None:
     _CONV_IMPL = impl
 
 
+def _conv_raw(x: jax.Array, kernel: jax.Array, pads: tuple, dilation: int
+              ) -> jax.Array:
+    """fp32-accumulated conv, output cast back to x.dtype.  Measured 7%
+    faster end-to-end than the bf16-output form on v5e (973 vs 1040 ms
+    reverse @ batch 64 x 4 s)."""
+    return jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype),
+        window_strides=(1,), padding=[pads],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv_vjp(x, kernel, pads, dilation):
+    return _conv_raw(x, kernel, pads, dilation)
+
+
+def _conv_vjp_fwd(x, kernel, pads, dilation):
+    return _conv_raw(x, kernel, pads, dilation), (x, kernel)
+
+
+def _conv_vjp_bwd(pads, dilation, residuals, dy):
+    # jax 0.9's built-in conv transpose rule rejects the f32-preferred /
+    # bf16-operand mix, so spell out the standard conv gradients (also with
+    # f32 accumulation).
+    x, kernel = residuals
+    k = kernel.shape[0]
+    p = dilation * (k - 1)
+    # dx: correlate dy with the tap-flipped, channel-transposed kernel;
+    # padding complements the forward padding.
+    k_flip = jnp.flip(kernel, axis=0).swapaxes(1, 2)
+    dx = _conv_raw(dy, k_flip, (p - pads[0], p - pads[1]), dilation)
+    # dk[j] = sum_t x_pad[t + j*d] (outer) dy[t]
+    xp = jnp.pad(x, ((0, 0), pads, (0, 0)))
+    T = dy.shape[1]
+    dk = jnp.stack([
+        jnp.einsum("btc,btd->cd",
+                   jax.lax.dynamic_slice_in_dim(xp, j * dilation, T, axis=1),
+                   dy, preferred_element_type=jnp.float32)
+        for j in range(k)]).astype(kernel.dtype)
+    return dx.astype(x.dtype), dk
+
+
+_conv_vjp.defvjp(_conv_vjp_fwd, _conv_vjp_bwd)
+
+
 def dilated_conv1d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array],
                    dilation: int = 1, causal: bool = False) -> jax.Array:
     """Explicit-padding dilated conv matching modules.py:24-33.
@@ -95,8 +144,8 @@ def dilated_conv1d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array],
     k = kernel.shape[0]
     dtype = x.dtype
     pad = dilation * (k - 1)
+    pads = (pad, 0) if causal else (pad // 2, pad - pad // 2)
     if k > 1 and _CONV_IMPL == "matmul":
-        pads = (pad, 0) if causal else (pad // 2, pad - pad // 2)
         xp = jnp.pad(x, ((0, 0), pads, (0, 0)))
         T = x.shape[1]
         taps = jnp.concatenate(
@@ -106,16 +155,7 @@ def dilated_conv1d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array],
         out = jnp.einsum("btc,cd->btd", taps, w,
                          preferred_element_type=jnp.float32).astype(dtype)
     else:
-        padding = [(pad, 0)] if causal else [(pad // 2, pad - pad // 2)]
-        # no preferred_element_type: jax 0.9's conv transpose (autodiff)
-        # rule rejects mixed f32-cotangent/bf16-operand; TPU accumulates
-        # bf16 convs in fp32 natively anyway
-        out = jax.lax.conv_general_dilated(
-            x, kernel.astype(dtype),
-            window_strides=(1,), padding=padding,
-            rhs_dilation=(dilation,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-        )
+        out = _conv_vjp(x, kernel.astype(dtype), pads, dilation)
     if bias is not None:
         out = out + bias.astype(dtype)
     return out

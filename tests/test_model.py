@@ -112,7 +112,7 @@ def test_model_logdet_vs_jacobian(key):
             ld = ld + d
         return ld
 
-    J = jax.jacfwd(latent)(x.ravel())
+    J = jax.jacrev(latent)(x.ravel())
     expected = np.linalg.slogdet(np.array(J))[1] / (B * T)
     got = float(total_logdet(x.ravel()))
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)

@@ -56,7 +56,7 @@ def test_actnorm_logdet_vs_jacobian(rng):
     x = jnp.asarray(rng.randn(B, T, C), jnp.float32)
 
     flat = lambda v: actnorm_forward(p, v.reshape(B, T, C))[0].ravel()
-    J = jax.jacfwd(flat)(x.ravel())
+    J = jax.jacrev(flat)(x.ravel())
     _, logdet = actnorm_forward(p, x)
     expected = np.linalg.slogdet(np.array(J))[1] / (B * T * C)
     np.testing.assert_allclose(logdet, expected, rtol=1e-5)
@@ -108,7 +108,7 @@ def test_coupling_logdet_vs_jacobian(key, rng):
 
     flat = lambda v: coupling_forward(p, v.reshape(B, T, C), c, None,
                                       affine=True, causal=False)[0].ravel()
-    J = jax.jacfwd(flat)(x.ravel())
+    J = jax.jacrev(flat)(x.ravel())
     _, logdet = coupling_forward(p, x, c, None, affine=True, causal=False)
     expected = np.linalg.slogdet(np.array(J))[1] / (B * T * C)
     np.testing.assert_allclose(logdet, expected, rtol=1e-4, atol=1e-6)
@@ -132,3 +132,32 @@ def test_noncausal_conv_shape_and_center(key, rng):
     x = jnp.asarray(rng.randn(1, 16, 3), jnp.float32)
     y = wn_conv1d(x, p, dilation=3, causal=False)
     assert y.shape == (1, 16, 5)
+
+
+def test_conv_custom_vjp_matches_autodiff(key, rng):
+    """The hand-written conv backward (needed for f32-accumulate + bf16)
+    must match autodiff through the im2col formulation."""
+    from flowavenet_tpu.ops import conv as convmod
+    from flowavenet_tpu.ops.conv import dilated_conv1d, init_wn_conv1d, wn_kernel
+
+    p = init_wn_conv1d(key, 4, 6, kernel_size=3)
+    kern = wn_kernel(p)
+    x = jnp.asarray(rng.randn(2, 24, 4), jnp.float32)
+
+    for causal, dil in [(False, 1), (False, 3), (True, 1), (True, 3)]:
+        def loss_conv(args, impl):
+            x_, k_ = args
+            convmod.set_conv_impl(impl)
+            try:
+                y = dilated_conv1d(x_, k_, None, dilation=dil, causal=causal)
+            finally:
+                convmod.set_conv_impl("conv")
+            return jnp.sum(jnp.sin(y))
+
+        va, ga = jax.value_and_grad(lambda a: loss_conv(a, "conv"))((x, kern))
+        vb, gb = jax.value_and_grad(lambda a: loss_conv(a, "matmul"))((x, kern))
+        np.testing.assert_allclose(float(va), float(vb), rtol=1e-5)
+        for u, v in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=f"causal={causal} d={dil}")
