@@ -110,7 +110,17 @@ def _res_layer(h: jax.Array, c: jax.Array, g: Optional[jax.Array],
     k, b = _fused_fg_kernel(layer["filter"], layer["gate"])
 
     if use_pallas and need_residual:
-        from ..ops.pallas_resblock import fused_gated_resblock
+        from ..ops.pallas_resblock import (V2_MAX_CC, fused_gated_resblock,
+                                           fused_gated_resblock_v2)
+
+        if g is None and c.shape[-1] <= V2_MAX_CC:
+            # v2: conditioning matmul fused into the kernel
+            kc, bc = _fused_fg_kernel(layer["filter_c"], layer["gate_c"])
+            return fused_gated_resblock_v2(
+                h, c, k, kc[0], bc + b,
+                wn_kernel(layer["res"])[0], layer["res"]["b"],
+                wn_kernel(layer["skip"])[0], layer["skip"]["b"],
+                dilation=dilation, causal=causal)
 
         cond = _cond_fg(c, g, layer, b)
         return fused_gated_resblock(

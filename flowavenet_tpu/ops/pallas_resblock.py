@@ -253,3 +253,184 @@ def _fused_forward(h: jax.Array, cond_fg: jax.Array,
       w_res.astype(dtype), b_res.astype(jnp.float32),
       w_skip.astype(dtype), b_skip.astype(jnp.float32))
     return hnew, skip
+
+
+# ---------------------------------------------------------------------------
+# v2: double-buffered halo DMA + conditioning matmul fused into the kernel.
+#
+# v1 reads a precomputed cond_fg [B, T, 2R] (a full fp/bf16 tensor written
+# and re-read through HBM).  v2 reads the raw half-conditioning c [B, T, Cc]
+# instead and computes c @ W_cond inside the kernel, eliminating that round
+# trip (at block 0, cond_fg is 6.5x larger than c).  The halo DMA is double
+# buffered across grid steps so the copy for tile i+1 overlaps tile i's
+# matmuls.  VMEM budget restricts v2 to Cc <= ~2560 (blocks 0-5 of the
+# default model); larger blocks take the v1/XLA path — they are <15% of
+# reverse time.
+# ---------------------------------------------------------------------------
+
+V2_MAX_CC = 2560
+
+
+def _resblock_kernel_v2(hpad_ref, c_ref, h_ref, wconv_ref, wcond_ref,
+                        ball_ref, wres_ref, bres_ref, wskip_ref, bskip_ref,
+                        hnew_ref, skip_ref, scratch, sem,
+                        *, dilation: int, t_tile: int, n_t: int):
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    win = t_tile + HALO
+
+    @pl.when(ti == 0)
+    def _warmup():
+        pltpu.make_async_copy(
+            hpad_ref.at[b, pl.ds(0, win), :], scratch.at[0], sem.at[0]
+        ).start()
+
+    # start the NEXT tile's DMA before waiting on ours
+    @pl.when(ti + 1 < n_t)
+    def _prefetch():
+        nxt = (ti + 1) % 2
+        pltpu.make_async_copy(
+            hpad_ref.at[b, pl.ds((ti + 1) * t_tile, win), :],
+            scratch.at[nxt], sem.at[nxt]).start()
+
+    slot = ti % 2
+    pltpu.make_async_copy(
+        hpad_ref.at[b, pl.ds(ti * t_tile, win), :],
+        scratch.at[slot], sem.at[slot]).wait()
+
+    r = h_ref.shape[-1]
+    acc = jnp.dot(c_ref[0], wcond_ref[:],
+                  preferred_element_type=jnp.float32)
+    acc += ball_ref[:].astype(jnp.float32)
+    for k in range(3):
+        tap = scratch[slot, pl.ds(k * dilation, t_tile), :]
+        acc += jnp.dot(tap, wconv_ref[k], preferred_element_type=jnp.float32)
+
+    gated = (jnp.tanh(acc[:, :r])
+             * jax.nn.sigmoid(acc[:, r:])).astype(h_ref.dtype)
+
+    res = jnp.dot(gated, wres_ref[:], preferred_element_type=jnp.float32)
+    res += bres_ref[:].astype(jnp.float32)
+    hnew_ref[0] = ((h_ref[0].astype(jnp.float32) + res)
+                   * SQRT_HALF).astype(hnew_ref.dtype)
+    sk = jnp.dot(gated, wskip_ref[:], preferred_element_type=jnp.float32)
+    skip_ref[0] = (sk + bskip_ref[:].astype(jnp.float32)).astype(
+        skip_ref.dtype)
+
+
+def _fused_forward_v2(h, c, w_conv, w_cond, b_all, w_res, b_res, w_skip,
+                      b_skip, *, dilation, causal, t_tile=512,
+                      interpret=False):
+    B, T, R = h.shape
+    Cc = c.shape[-1]
+    S = w_skip.shape[-1]
+    d = dilation
+    assert 2 * d <= HALO
+    if causal:
+        h_pad = jnp.pad(h, ((0, 0), (2 * d, HALO - 2 * d), (0, 0)))
+    else:
+        h_pad = jnp.pad(h, ((0, 0), (d, HALO - d), (0, 0)))
+
+    if T <= 2 * t_tile:
+        t_tile = T
+    elif T % t_tile != 0:
+        t = t_tile
+        while T % t != 0 and t > 128:
+            t //= 2
+        t_tile = t if T % t == 0 else T
+    n_t = T // t_tile
+
+    dtype = h.dtype
+    kernel = functools.partial(_resblock_kernel_v2, dilation=d,
+                               t_tile=t_tile, n_t=n_t)
+
+    def tb(i_b, i_t):
+        return (i_b, i_t, 0)
+
+    hnew, skip = pl.pallas_call(
+        kernel,
+        grid=(B, n_t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),            # h_pad manual DMA
+            pl.BlockSpec((1, t_tile, Cc), tb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_tile, R), tb, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # w_conv
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # w_cond
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # b_all
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # w_res
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # b_res
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # w_skip
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # b_skip
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t_tile, R), tb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_tile, S), tb, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, R), dtype),
+            jax.ShapeDtypeStruct((B, T, S), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, t_tile + HALO, R), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * (R * (3 * 2 * R + R + S) + Cc * 2 * R),
+            bytes_accessed=(h_pad.size + c.size + 2 * h.size + B * T * S)
+            * h.dtype.itemsize,
+            transcendentals=2 * B * T * R,
+        ),
+        interpret=interpret,
+    )(h_pad, c.astype(dtype), h, w_conv.astype(dtype),
+      w_cond.astype(dtype), b_all.astype(jnp.float32),
+      w_res.astype(dtype), b_res.astype(jnp.float32),
+      w_skip.astype(dtype), b_skip.astype(jnp.float32))
+    return hnew, skip
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _fgr2(h, c, w_conv, w_cond, b_all, w_res, b_res, w_skip, b_skip,
+          dilation, causal, t_tile, interpret):
+    return _fused_forward_v2(h, c, w_conv, w_cond, b_all, w_res, b_res,
+                             w_skip, b_skip, dilation=dilation,
+                             causal=causal, t_tile=t_tile,
+                             interpret=interpret)
+
+
+def fused_gated_resblock_v2(h, c, w_conv, w_cond, b_all, w_res, b_res,
+                            w_skip, b_skip, *, dilation, causal,
+                            t_tile=512, interpret=False):
+    """v2 fused resblock taking raw half-conditioning c and its projection
+    weights; differentiable (Pallas fwd, XLA bwd with recompute)."""
+    return _fgr2(h, c, w_conv, w_cond, b_all, w_res, b_res, w_skip, b_skip,
+                 dilation, causal, t_tile, interpret)
+
+
+def _fgr2_fwd(h, c, w_conv, w_cond, b_all, w_res, b_res, w_skip, b_skip,
+              dilation, causal, t_tile, interpret):
+    out = _fused_forward_v2(h, c, w_conv, w_cond, b_all, w_res, b_res,
+                            w_skip, b_skip, dilation=dilation, causal=causal,
+                            t_tile=t_tile, interpret=interpret)
+    return out, (h, c, w_conv, w_cond, b_all, w_res, w_skip)
+
+
+def _fgr2_bwd(dilation, causal, t_tile, interpret, residuals, grads):
+    h, c, w_conv, w_cond, b_all, w_res, w_skip = residuals
+    f32 = jnp.float32
+    cond_fg = (jnp.einsum("btc,cd->btd", c, w_cond.astype(c.dtype),
+                          preferred_element_type=f32)
+               + b_all.astype(f32))
+    dh, dcond, dw_conv, dw_res, db_res, dw_skip, db_skip = _fgr_bwd(
+        dilation, causal, t_tile, interpret,
+        (h, cond_fg, w_conv, w_res, w_skip), grads)
+    dcf = dcond.astype(f32)
+    dc = jnp.einsum("btd,cd->btc", dcf,
+                    w_cond.astype(f32)).astype(c.dtype)
+    dw_cond = jnp.einsum("btc,btd->cd", c.astype(f32),
+                         dcf).astype(w_cond.dtype)
+    db_all = jnp.sum(dcf, axis=(0, 1))
+    return (dh, dc, dw_conv, dw_cond, db_all, dw_res, db_res, dw_skip,
+            db_skip)
+
+
+_fgr2.defvjp(_fgr2_fwd, _fgr2_bwd)

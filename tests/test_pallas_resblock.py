@@ -70,13 +70,18 @@ def test_reverse_path_with_pallas_interpret(key, rng, monkeypatch):
     forward exactly like the XLA path."""
     import flowavenet_tpu.ops.pallas_resblock as pr
 
-    orig = pr.fused_gated_resblock
+    orig, orig2 = pr.fused_gated_resblock, pr.fused_gated_resblock_v2
 
     def interp(*args, **kw):
         kw["interpret"] = True
         return orig(*args, **kw)
 
+    def interp2(*args, **kw):
+        kw["interpret"] = True
+        return orig2(*args, **kw)
+
     monkeypatch.setattr(pr, "fused_gated_resblock", interp)
+    monkeypatch.setattr(pr, "fused_gated_resblock_v2", interp2)
 
     from flowavenet_tpu.config import ModelConfig
     from flowavenet_tpu.models.flowavenet import init_flowavenet, reverse
@@ -131,6 +136,69 @@ def test_custom_vjp_matches_xla_grads(key, rng):
     args = (h, cond, k, wr, br, ws, bs)
     va, ga = jax.value_and_grad(loss_fused)(args)
     vb, gb = jax.value_and_grad(loss_xla)(args)
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-5)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("causal,dilation", [(False, 1), (True, 3)])
+def test_v2_kernel_matches_xla(key, rng, causal, dilation):
+    from flowavenet_tpu.ops.pallas_resblock import fused_gated_resblock_v2
+
+    r, cc, B, T = 16, 8, 2, 96
+    layer = _layer(key, r, cc)
+    layer = jax.tree.map(
+        lambda l: l + jnp.asarray(0.2 * rng.randn(*l.shape), l.dtype), layer)
+    h = jnp.asarray(rng.randn(B, T, r), jnp.float32)
+    c = jnp.asarray(rng.randn(B, T, cc), jnp.float32)
+
+    ref_h, ref_s = _res_layer(h, c, None, layer, dilation=dilation,
+                              causal=causal, compute_dtype=jnp.float32)
+
+    k, b = _fused_fg_kernel(layer["filter"], layer["gate"])
+    kc, bc = _fused_fg_kernel(layer["filter_c"], layer["gate_c"])
+    out_h, out_s = fused_gated_resblock_v2(
+        h, c, k, kc[0], bc + b,
+        wn_kernel(layer["res"])[0], layer["res"]["b"],
+        wn_kernel(layer["skip"])[0], layer["skip"]["b"],
+        dilation=dilation, causal=causal, t_tile=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref_h),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref_s),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_v2_custom_vjp_grads(key, rng):
+    from flowavenet_tpu.ops.pallas_resblock import fused_gated_resblock_v2
+    import flowavenet_tpu.ops.pallas_resblock as pr
+
+    r, cc, B, T = 8, 4, 1, 64
+    layer = _layer(key, r, cc)
+    h = jnp.asarray(rng.randn(B, T, r), jnp.float32)
+    c = jnp.asarray(rng.randn(B, T, cc), jnp.float32)
+    k, b = _fused_fg_kernel(layer["filter"], layer["gate"])
+    kc, bc = _fused_fg_kernel(layer["filter_c"], layer["gate_c"])
+    args = (h, c, k, kc[0], bc + b, wn_kernel(layer["res"])[0],
+            layer["res"]["b"], wn_kernel(layer["skip"])[0],
+            layer["skip"]["b"])
+
+    def loss_v2(a):
+        hn, sk = fused_gated_resblock_v2(*a, dilation=3, causal=False,
+                                         t_tile=32, interpret=True)
+        return jnp.sum(hn * hn) + jnp.sum(jnp.sin(sk))
+
+    def loss_ref(a):
+        h_, c_, k_, kc_, ball_, wr_, br_, ws_, bs_ = a
+        fg = pr._dilated_conv_taps(h_, k_, 3, False) \
+            + jnp.einsum("btc,cd->btd", c_, kc_) + ball_
+        gated = jnp.tanh(fg[..., :r]) * jax.nn.sigmoid(fg[..., r:])
+        hn = (h_ + jnp.einsum("btr,rd->btd", gated, wr_) + br_) * np.sqrt(0.5)
+        sk = jnp.einsum("btr,rs->bts", gated, ws_) + bs_
+        return jnp.sum(hn * hn) + jnp.sum(jnp.sin(sk))
+
+    va, ga = jax.value_and_grad(loss_v2)(args)
+    vb, gb = jax.value_and_grad(loss_ref)(args)
     np.testing.assert_allclose(float(va), float(vb), rtol=1e-5)
     for x, y in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
