@@ -44,6 +44,17 @@ SQRT_HALF = math.sqrt(0.5)
 HALO = 32
 
 
+
+def _plan_tiles(T: int, t_tile: int) -> tuple[int, int]:
+    """(t_tile, T_pad): tile rounded to the 16-row sublane quantum, time
+    padded to a whole number of tiles.  Outputs beyond T are sliced away by
+    the callers; Mosaic crashes on unaligned scratch windows otherwise."""
+    if T <= 2 * t_tile:
+        t_tile = -(-T // 16) * 16
+    n_t = -(-T // t_tile)
+    return t_tile, n_t * t_tile
+
+
 def _resblock_kernel(hpad_ref, cond_ref, h_ref, wconv_ref, wres_ref,
                      bres_ref, wskip_ref, bskip_ref, hnew_ref, skip_ref,
                      scratch, sem, *, dilation: int, t_tile: int):
@@ -189,22 +200,13 @@ def _fused_forward(h: jax.Array, cond_fg: jax.Array,
     S = w_skip.shape[-1]
     d = dilation
     assert 2 * d <= HALO, f"dilation {d} exceeds HALO//2={HALO // 2}"
-    if causal:
-        h_pad = jnp.pad(h, ((0, 0), (2 * d, HALO - 2 * d), (0, 0)))
-    else:
-        h_pad = jnp.pad(h, ((0, 0), (d, HALO - d), (0, 0)))
-
-    if T <= 2 * t_tile:
-        # short sequences (late blocks): one tile per batch program —
-        # sub-128-row tiles explode Mosaic compile time and starve the MXU
-        t_tile = T
-    elif T % t_tile != 0:
-        # fall back to a tile size that divides T, but never below 128 rows
-        t = t_tile
-        while T % t != 0 and t > 128:
-            t //= 2
-        t_tile = t if T % t == 0 else T
-    n_t = T // t_tile
+    t_tile, T_pad = _plan_tiles(T, t_tile)
+    lead = 2 * d if causal else d
+    h_pad = jnp.pad(h, ((0, 0), (lead, T_pad - T + HALO - lead), (0, 0)))
+    if T_pad != T:
+        h = jnp.pad(h, ((0, 0), (0, T_pad - T), (0, 0)))
+        cond_fg = jnp.pad(cond_fg, ((0, 0), (0, T_pad - T), (0, 0)))
+    n_t = T_pad // t_tile
 
     dtype = h.dtype
     kernel = functools.partial(_resblock_kernel, dilation=d, t_tile=t_tile)
@@ -235,8 +237,8 @@ def _fused_forward(h: jax.Array, cond_fg: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, T, R), dtype),
-            jax.ShapeDtypeStruct((B, T, S), dtype),
+            jax.ShapeDtypeStruct((B, T_pad, R), dtype),
+            jax.ShapeDtypeStruct((B, T_pad, S), dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((t_tile + HALO, R), dtype),
@@ -252,6 +254,8 @@ def _fused_forward(h: jax.Array, cond_fg: jax.Array,
     )(h_pad, cond_fg.astype(dtype), h, w_conv.astype(dtype),
       w_res.astype(dtype), b_res.astype(jnp.float32),
       w_skip.astype(dtype), b_skip.astype(jnp.float32))
+    if T_pad != T:
+        hnew, skip = hnew[:, :T], skip[:, :T]
     return hnew, skip
 
 
@@ -326,19 +330,13 @@ def _fused_forward_v2(h, c, w_conv, w_cond, b_all, w_res, b_res, w_skip,
     S = w_skip.shape[-1]
     d = dilation
     assert 2 * d <= HALO
-    if causal:
-        h_pad = jnp.pad(h, ((0, 0), (2 * d, HALO - 2 * d), (0, 0)))
-    else:
-        h_pad = jnp.pad(h, ((0, 0), (d, HALO - d), (0, 0)))
-
-    if T <= 2 * t_tile:
-        t_tile = T
-    elif T % t_tile != 0:
-        t = t_tile
-        while T % t != 0 and t > 128:
-            t //= 2
-        t_tile = t if T % t == 0 else T
-    n_t = T // t_tile
+    t_tile, T_pad = _plan_tiles(T, t_tile)
+    lead = 2 * d if causal else d
+    h_pad = jnp.pad(h, ((0, 0), (lead, T_pad - T + HALO - lead), (0, 0)))
+    if T_pad != T:
+        h = jnp.pad(h, ((0, 0), (0, T_pad - T), (0, 0)))
+        c = jnp.pad(c, ((0, 0), (0, T_pad - T), (0, 0)))
+    n_t = T_pad // t_tile
 
     dtype = h.dtype
     kernel = functools.partial(_resblock_kernel_v2, dilation=d,
@@ -367,8 +365,8 @@ def _fused_forward_v2(h, c, w_conv, w_cond, b_all, w_res, b_res, w_skip,
             pl.BlockSpec((1, t_tile, S), tb, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, T, R), dtype),
-            jax.ShapeDtypeStruct((B, T, S), dtype),
+            jax.ShapeDtypeStruct((B, T_pad, R), dtype),
+            jax.ShapeDtypeStruct((B, T_pad, S), dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, t_tile + HALO, R), dtype),
@@ -385,6 +383,8 @@ def _fused_forward_v2(h, c, w_conv, w_cond, b_all, w_res, b_res, w_skip,
       w_cond.astype(dtype), b_all.astype(jnp.float32),
       w_res.astype(dtype), b_res.astype(jnp.float32),
       w_skip.astype(dtype), b_skip.astype(jnp.float32))
+    if T_pad != T:
+        hnew, skip = hnew[:, :T], skip[:, :T]
     return hnew, skip
 
 

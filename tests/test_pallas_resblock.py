@@ -203,3 +203,27 @@ def test_v2_custom_vjp_grads(key, rng):
     for x, y in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_kernel_unaligned_T(key, rng):
+    """T not a multiple of the sublane quantum (late blocks, e.g. T=86):
+    padded-tile path must stay exact."""
+    from flowavenet_tpu.ops.pallas_resblock import fused_gated_resblock_v2
+
+    r, cc, B, T = 8, 4, 2, 86
+    layer = _layer(key, r, cc)
+    h = jnp.asarray(rng.randn(B, T, r), jnp.float32)
+    c = jnp.asarray(rng.randn(B, T, cc), jnp.float32)
+    ref_h, ref_s = _res_layer(h, c, None, layer, dilation=3, causal=False,
+                              compute_dtype=jnp.float32)
+    k, b = _fused_fg_kernel(layer["filter"], layer["gate"])
+    kc, bc = _fused_fg_kernel(layer["filter_c"], layer["gate_c"])
+    out_h, out_s = fused_gated_resblock_v2(
+        h, c, k, kc[0], bc + b, wn_kernel(layer["res"])[0],
+        layer["res"]["b"], wn_kernel(layer["skip"])[0], layer["skip"]["b"],
+        dilation=3, causal=False, t_tile=32, interpret=True)
+    assert out_h.shape == ref_h.shape
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref_h),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref_s),
+                               rtol=1e-5, atol=1e-5)
