@@ -35,13 +35,16 @@ import numpy as np
 
 def main() -> None:
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from flowavenet_tpu.config import get_config
     from flowavenet_tpu.models.flowavenet import init_flowavenet, reverse
 
     cfg = get_config(os.environ.get("BENCH_CONFIG", "lj22k"))
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "96"))
     seconds = float(os.environ.get("BENCH_SECONDS", "4"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
 
@@ -59,7 +62,8 @@ def main() -> None:
           f"batch {batch} x {T / sr:.2f}s", file=sys.stderr, flush=True)
 
     t0 = time.time()
-    params = init_flowavenet(jax.random.PRNGKey(0), cfg.model)
+    params = jax.jit(lambda k: init_flowavenet(k, cfg.model))(
+        jax.random.PRNGKey(0))
     print(f"# init {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
     @jax.jit
