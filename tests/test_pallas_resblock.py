@@ -82,6 +82,8 @@ def test_reverse_path_with_pallas_interpret(key, rng, monkeypatch):
 
     monkeypatch.setattr(pr, "fused_gated_resblock", interp)
     monkeypatch.setattr(pr, "fused_gated_resblock_v2", interp2)
+    import flowavenet_tpu.models.flowavenet as fwm
+    monkeypatch.setattr(fwm, "PALLAS_MIN_T", 1)  # tiny test shapes
 
     from flowavenet_tpu.config import ModelConfig
     from flowavenet_tpu.models.flowavenet import init_flowavenet, reverse
