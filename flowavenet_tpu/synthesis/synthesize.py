@@ -44,10 +44,12 @@ def _usable_frames(frames: int, cfg: Config) -> int:
 
 def synthesize_mels(params, cfg: Config, mels: list[np.ndarray],
                     seed: int = 0, speaker_ids=None, compute_dtype=None,
-                    temp: float | None = None) -> list[np.ndarray]:
+                    temp: float | None = None,
+                    bucket_frames: int = 64) -> list[np.ndarray]:
     """Synthesize a list of [T_mel, num_mels] mels; returns float32 wavs.
 
-    Mels are padded to the longest item and batched through one jitted
+    Mels are padded to the longest item (rounded up to ``bucket_frames`` so
+    repeated calls reuse compiled shapes) and batched through one jitted
     reverse pass; outputs are cropped back to each true length.
     """
     dt = compute_dtype or (jnp.bfloat16
@@ -56,7 +58,11 @@ def synthesize_mels(params, cfg: Config, mels: list[np.ndarray],
     temp = cfg.train.temp if temp is None else temp
     hop = cfg.audio.hop_size
     frames = [_usable_frames(m.shape[0], cfg) for m in mels]
-    pad_frames = _usable_frames(max(frames), cfg)
+    pad_frames = max(frames)
+    if bucket_frames > 1:
+        pad_frames = -(-pad_frames // bucket_frames) * bucket_frames
+    while (pad_frames * hop) % cfg.model.squeeze_factor != 0:
+        pad_frames += 1
 
     batch = np.zeros((len(mels), pad_frames, cfg.audio.num_mels), np.float32)
     for i, m in enumerate(mels):
@@ -83,6 +89,9 @@ def main(argv=None):
                         help="mels synthesized per reverse pass")
     parser.add_argument("--temp", type=float, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bucket_frames", type=int, default=64,
+                        help="pad mel lengths up to multiples of this so "
+                             "batches reuse compiled shapes")
     args = parser.parse_args(argv)
 
     cfg = get_config(args.config)
@@ -101,7 +110,8 @@ def main(argv=None):
         mels = [np.load(os.path.join(args.mels_dir, n)) for n in chunk]
         t0 = time.time()
         wavs = synthesize_mels(params, cfg, mels, seed=args.seed + i,
-                               temp=args.temp)
+                               temp=args.temp,
+                               bucket_frames=args.bucket_frames)
         dt = time.time() - t0
         for n, w in zip(chunk, wavs):
             write_wav(os.path.join(args.output_dir, n[:-4] + ".wav"), w,
