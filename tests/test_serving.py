@@ -1,0 +1,119 @@
+"""Serving layer tests: HTTP round trip, micro-batching, error paths."""
+
+import http.client
+import io
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from flowavenet_tpu.config import tiny
+from flowavenet_tpu.models.flowavenet import init_flowavenet
+from flowavenet_tpu.serving.server import SynthesisService, serve
+
+CFG = tiny()
+
+
+@pytest.fixture(scope="module")
+def server():
+    params = init_flowavenet(jax.random.PRNGKey(0), CFG.model)
+    httpd = serve(params, CFG, host="127.0.0.1", port=0,
+                  max_batch=4, batch_window_ms=30.0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd
+    httpd.shutdown()
+
+
+def _conn(httpd):
+    return http.client.HTTPConnection("127.0.0.1", httpd.server_port,
+                                      timeout=120)
+
+
+def _mel_bytes(frames=8, seed=0):
+    rng = np.random.RandomState(seed)
+    mel = rng.rand(frames, CFG.model.num_mels).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, mel)
+    return buf.getvalue()
+
+
+def test_healthz(server):
+    c = _conn(server)
+    c.request("GET", "/healthz")
+    r = c.getresponse()
+    assert r.status == 200
+    import json
+    info = json.loads(r.read())
+    assert info["status"] == "ok" and info["sample_rate"] == 22050
+
+
+def test_synthesize_roundtrip(server):
+    c = _conn(server)
+    body = _mel_bytes(frames=8)
+    c.request("POST", "/synthesize", body=body,
+              headers={"Content-Length": str(len(body)), "X-Seed": "7"})
+    r = c.getresponse()
+    assert r.status == 200
+    assert r.getheader("Content-Type") == "audio/wav"
+    data = r.read()
+    import wave
+    w = wave.open(io.BytesIO(data))
+    assert w.getframerate() == 22050
+    assert w.getnframes() == 8 * CFG.audio.hop_size
+
+
+def test_concurrent_requests_micro_batch(server):
+    """Concurrent requests are served correctly (and batched)."""
+    results = {}
+
+    def call(i):
+        c = _conn(server)
+        body = _mel_bytes(frames=8, seed=i)
+        c.request("POST", "/synthesize", body=body,
+                  headers={"Content-Length": str(len(body))})
+        r = c.getresponse()
+        results[i] = (r.status, len(r.read()))
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(s == 200 for s, _ in results.values())
+    stats = server.service.stats
+    assert stats["requests"] >= 4
+    # micro-batching fired: fewer batches than requests
+    assert stats["batches"] <= stats["requests"]
+
+
+def test_bad_mel_rejected(server):
+    c = _conn(server)
+    rng = np.random.RandomState(0)
+    bad = rng.rand(8, 3).astype(np.float32)  # wrong mel bins
+    buf = io.BytesIO(); np.save(buf, bad)
+    body = buf.getvalue()
+    c.request("POST", "/synthesize", body=body,
+              headers={"Content-Length": str(len(body))})
+    r = c.getresponse()
+    assert r.status == 400
+    assert b"mel must be" in r.read()
+
+
+def test_unknown_path(server):
+    c = _conn(server)
+    c.request("GET", "/nope")
+    assert c.getresponse().status == 404
+
+
+def test_service_direct_api():
+    params = init_flowavenet(jax.random.PRNGKey(1), CFG.model)
+    svc = SynthesisService(params, CFG, max_batch=2, batch_window_ms=5.0)
+    rng = np.random.RandomState(0)
+    wav = svc.submit(rng.rand(8, CFG.model.num_mels).astype(np.float32))
+    assert wav.shape == (8 * CFG.audio.hop_size,)
+    assert np.all(np.isfinite(wav))
+    with pytest.raises(ValueError, match="mel must be"):
+        svc.submit(rng.rand(8, 3).astype(np.float32))
+    svc.close()
