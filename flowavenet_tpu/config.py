@@ -51,6 +51,10 @@ class ModelConfig:
     # inference (reverse) path.  The training path stays on XLA until the
     # kernel grows a custom VJP.
     use_pallas: bool = False
+    # Rematerialize each flow step in the backward pass (jax.checkpoint):
+    # trades ~30% more forward FLOPs for activation memory, raising the
+    # max training batch per chip.
+    remat: bool = False
 
     @property
     def hop_size(self) -> int:

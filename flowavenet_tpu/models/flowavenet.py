@@ -271,13 +271,17 @@ def block_forward(p: dict, cfg: ModelConfig, x, c, g):
         u, v = jnp.split(x, 2, axis=2)
         c_a, c_b = jnp.split(c, 2, axis=2)
         g_a, g_b = jnp.split(g, 2, axis=2) if has_g else (None, None)
-        (u, v), lds = jax.lax.scan(
-            _pair_step_fwd(cfg, c_a, c_b, g_a, g_b), (u, v),
-            _pair_params(p))
+        step = _pair_step_fwd(cfg, c_a, c_b, g_a, g_b)
+        if cfg.remat:
+            step = jax.checkpoint(step, prevent_cse=False)
+        (u, v), lds = jax.lax.scan(step, (u, v), _pair_params(p))
         return (jnp.concatenate([u, v], axis=2), c, g, jnp.sum(lds))
 
+    step = _flow_step_fwd(cfg, has_g)
+    if cfg.remat:
+        step = jax.checkpoint(step, prevent_cse=False)
     carry = (x, c, g) if has_g else (x, c)
-    carry, lds = jax.lax.scan(_flow_step_fwd(cfg, has_g), carry, p["flows"])
+    carry, lds = jax.lax.scan(step, carry, p["flows"])
     if has_g:
         x, c, g = carry
     else:

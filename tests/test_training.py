@@ -175,3 +175,20 @@ def test_bf16_train_step(key, rng):
     # params stay fp32
     assert all(l.dtype == jnp.float32 or l.dtype == jnp.int32
                for l in jax.tree.leaves(state.params))
+
+
+def test_remat_train_step_matches(key, rng):
+    """remat must not change the loss or gradients (only memory/compute)."""
+    import dataclasses
+    cfg_r = dataclasses.replace(
+        CFG, model=dataclasses.replace(CFG.model, remat=True))
+    batch = _batch(rng, CFG)
+    state = create_state(key, CFG)
+    state = ddi_initialize(state, CFG, batch)
+
+    _, m_a = jax.jit(make_train_step(CFG))(state, batch)
+    _, m_b = jax.jit(make_train_step(cfg_r))(state, batch)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m_a["grad_global_norm"]),
+                               float(m_b["grad_global_norm"]), rtol=1e-4)
