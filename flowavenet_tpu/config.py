@@ -51,10 +51,11 @@ class ModelConfig:
     # inference (reverse) path.  The training path stays on XLA until the
     # kernel grows a custom VJP.
     use_pallas: bool = False
-    # Rematerialize each flow step in the backward pass (jax.checkpoint):
-    # trades ~30% more forward FLOPs for activation memory, raising the
-    # max training batch per chip.
-    remat: bool = False
+    # Rematerialize each flow step in the backward pass (jax.checkpoint).
+    # Measured on v5e: FASTER even at batch 32 (192 vs 225 ms/step — less
+    # memory pressure) and raises the max train batch from 32 to 128+
+    # (1.42 M samples/s at b128).  No effect on numerics or inference.
+    remat: bool = True
 
     @property
     def hop_size(self) -> int:

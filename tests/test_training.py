@@ -180,13 +180,15 @@ def test_bf16_train_step(key, rng):
 def test_remat_train_step_matches(key, rng):
     """remat must not change the loss or gradients (only memory/compute)."""
     import dataclasses
+    cfg_n = dataclasses.replace(
+        CFG, model=dataclasses.replace(CFG.model, remat=False))
     cfg_r = dataclasses.replace(
         CFG, model=dataclasses.replace(CFG.model, remat=True))
     batch = _batch(rng, CFG)
-    state = create_state(key, CFG)
-    state = ddi_initialize(state, CFG, batch)
+    state = create_state(key, cfg_n)
+    state = ddi_initialize(state, cfg_n, batch)
 
-    _, m_a = jax.jit(make_train_step(CFG))(state, batch)
+    _, m_a = jax.jit(make_train_step(cfg_n))(state, batch)
     _, m_b = jax.jit(make_train_step(cfg_r))(state, batch)
     np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
                                rtol=1e-6)
