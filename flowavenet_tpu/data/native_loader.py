@@ -28,6 +28,11 @@ _lib: Optional[ctypes.CDLL] = None
 
 def _build_lib() -> str:
     if not os.path.exists(_LIB_PATH):
+        if not os.path.isdir(_NATIVE_DIR):
+            raise RuntimeError(
+                f"native sources not found at {_NATIVE_DIR} — the C++ "
+                "loader needs a source checkout (pip install -e); use the "
+                "pure-python CropDataset otherwise")
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                        capture_output=True)
     return _LIB_PATH
