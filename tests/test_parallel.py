@@ -153,3 +153,31 @@ def test_batch_sharding_layout(key, rng):
     # one batch element per device
     assert len(audio.addressable_shards) == 8
     assert audio.addressable_shards[0].data.shape[0] == 1
+
+
+def test_sharded_reverse_matches_single_device(key, rng):
+    """Batch-parallel synthesis over the data mesh (serving scale-out):
+    sharded reverse == single-device reverse."""
+    from flowavenet_tpu.models.flowavenet import init_flowavenet, reverse
+
+    cfg = CFG.model
+    params = init_flowavenet(key, cfg)
+    B, frames = 8, 4
+    T = frames * cfg.hop_size
+    z = jnp.asarray(rng.randn(B, T, 1), np.float32)
+    c = jnp.asarray(rng.rand(B, frames, cfg.num_mels), np.float32)
+
+    ref = jax.jit(lambda p, z, c: reverse(p, cfg, z, c))(params, z, c)
+
+    mesh_cfg = MeshConfig(data_parallel=8, model_parallel=1)
+    mesh = make_mesh(mesh_cfg)
+    p_sh = param_sharding(params, mesh, mesh_cfg)
+    d_sh = NamedSharding(mesh, P("data"))
+    params_s = jax.device_put(params, p_sh)
+    z_s, c_s = jax.device_put(z, d_sh), jax.device_put(c, d_sh)
+    out = jax.jit(lambda p, z, c: reverse(p, cfg, z, c),
+                  in_shardings=(p_sh, d_sh, d_sh),
+                  out_shardings=d_sh)(params_s, z_s, c_s)
+    assert len(out.addressable_shards) == 8
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
