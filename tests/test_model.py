@@ -215,3 +215,26 @@ def test_pair_scan_matches_generic(key, rng):
     from flowavenet_tpu.ops.squeeze import unsqueeze
     np.testing.assert_allclose(np.asarray(xr), np.asarray(unsqueeze(xs)),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_nll_golden_regression():
+    """Pinned NLL on a fixed seed/params/input: guards the whole numeric
+    stack (init -> DDI -> forward) against silent drift across refactors
+    (SURVEY §4 item 5).  Regenerate via the snippet in the fixture's git
+    history only when a deliberate numeric change is made."""
+    import os
+    fx = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                              "nll_golden.npz"))
+    from flowavenet_tpu.config import ModelConfig
+    from flowavenet_tpu.models.flowavenet import ddi as ddi_fn
+
+    cfg = ModelConfig(n_block=3, n_flow=2, n_layer=2, filter_size=16,
+                      num_mels=8, upsample_scales=(4, 4))
+    params = init_flowavenet(jax.random.PRNGKey(1234), cfg)
+    r = np.random.RandomState(99)
+    x = jnp.asarray(r.randn(2, 512, 1), jnp.float32)
+    c = jnp.asarray(r.rand(2, 32, 8), jnp.float32)
+    params = ddi_fn(params, cfg, x, c)
+    lp, ld = forward(params, cfg, x, c)
+    np.testing.assert_allclose(float(lp), float(fx["log_p"]), rtol=2e-5)
+    np.testing.assert_allclose(float(ld), float(fx["logdet"]), rtol=2e-5)
