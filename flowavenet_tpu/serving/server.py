@@ -6,10 +6,13 @@ the offline synthesize.py CLI).  Design:
 * stdlib ThreadingHTTPServer front end — zero extra dependencies;
 * a single device worker thread owns the TPU: requests queue up, the worker
   drains up to ``max_batch`` of them (waiting ``batch_window_ms`` for
-  stragglers), pads mels to a shared bucketed length, and runs ONE jitted
-  reverse pass for the whole micro-batch — shape bucketing keeps the set of
-  compiled programs small and throughput at the batched-synthesis rate;
-* deterministic per-request seeds (optional header) for reproducibility.
+  stragglers), groups them by bucketed padded length, and runs one jitted
+  reverse pass per group — shape bucketing keeps the set of compiled
+  programs small and throughput at the batched-synthesis rate;
+* deterministic per-request seeds and temperatures: each request's noise is
+  drawn from its own X-Seed at its bucketed length, so the returned audio is
+  bit-identical for the same (mel, seed, temp) regardless of which other
+  requests share the micro-batch (tests/test_serving.py).
 
 API:
   POST /synthesize     body = raw float32 .npy of one [T_mel, num_mels] mel
@@ -82,6 +85,18 @@ class SynthesisService:
             raise RuntimeError(req.error)
         return req.wav
 
+    def _bucket_key(self, mel: np.ndarray) -> int:
+        """Padded frame count this mel will synthesize at (the group key)."""
+        from ..synthesis.synthesize import _usable_frames
+        frames = _usable_frames(mel.shape[0], self.cfg)
+        pad = frames
+        if self.bucket_frames > 1:
+            pad = -(-pad // self.bucket_frames) * self.bucket_frames
+        hop = self.cfg.audio.hop_size
+        while (pad * hop) % self.cfg.model.squeeze_factor != 0:
+            pad += 1
+        return pad
+
     def _drain(self) -> list[_Request]:
         first = self._q.get()
         batch = [first]
@@ -103,22 +118,29 @@ class SynthesisService:
             except Exception:
                 continue
             t0 = time.time()
-            try:
-                # group by temp (rare); one reverse per group
-                sids = [r.speaker_id if r.speaker_id is not None else 0
-                        for r in batch]
-                use_sid = (self.cfg.model.gin_channels > 0)
-                wavs = synthesize_mels(
-                    self.params, self.cfg, [r.mel for r in batch],
-                    seed=batch[0].seed,
-                    speaker_ids=sids if use_sid else None,
-                    temp=batch[0].temp,
-                    bucket_frames=self.bucket_frames)
-                for r, w in zip(batch, wavs):
-                    r.wav = w
-            except Exception as e:  # surface errors to every waiter
-                for r in batch:
-                    r.error = f"{type(e).__name__}: {e}"
+            # Group by bucketed length: within a group the padded length is
+            # the group key itself, and synthesize_mels draws each item's
+            # noise from its OWN seed at that length — so a request's audio
+            # is bit-identical no matter which companions it batches with.
+            groups: dict[int, list[_Request]] = {}
+            for r in batch:
+                groups.setdefault(self._bucket_key(r.mel), []).append(r)
+            use_sid = (self.cfg.model.gin_channels > 0)
+            for group in groups.values():
+                try:
+                    sids = [r.speaker_id if r.speaker_id is not None else 0
+                            for r in group]
+                    wavs = synthesize_mels(
+                        self.params, self.cfg, [r.mel for r in group],
+                        seed=[r.seed for r in group],
+                        speaker_ids=sids if use_sid else None,
+                        temp=[r.temp for r in group],
+                        bucket_frames=self.bucket_frames)
+                    for r, w in zip(group, wavs):
+                        r.wav = w
+                except Exception as e:  # surface errors to every waiter
+                    for r in group:
+                        r.error = f"{type(e).__name__}: {e}"
             dt = time.time() - t0
             self.stats["requests"] += len(batch)
             self.stats["batches"] += 1

@@ -8,6 +8,7 @@ support (the reference CLI cannot pass g), bf16 compute, and RTF reporting.
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import time
 
@@ -16,9 +17,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..checkpoint.checkpoint import latest_checkpoint, restore_checkpoint
-from ..config import Config, get_config
+from ..config import Config, ModelConfig, get_config
 from ..models.flowavenet import reverse
 from ..training.train_state import create_state
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_reverse(model_cfg: ModelConfig, dt):
+    """One jitted reverse per (model config, compute dtype); shapes are
+    bucketed by the caller so the jit cache stays small."""
+    def f(params, z, c, g=None):
+        return reverse(params, model_cfg, z, c, g, compute_dtype=dt)
+    return jax.jit(f)
 
 
 def load_params(saved_dir: str, cfg: Config):
@@ -43,19 +53,35 @@ def _usable_frames(frames: int, cfg: Config) -> int:
 
 
 def synthesize_mels(params, cfg: Config, mels: list[np.ndarray],
-                    seed: int = 0, speaker_ids=None, compute_dtype=None,
-                    temp: float | None = None,
+                    seed: int | list[int] = 0, speaker_ids=None,
+                    compute_dtype=None,
+                    temp: float | list[float] | None = None,
                     bucket_frames: int = 64) -> list[np.ndarray]:
     """Synthesize a list of [T_mel, num_mels] mels; returns float32 wavs.
 
     Mels are padded to the longest item (rounded up to ``bucket_frames`` so
     repeated calls reuse compiled shapes) and batched through one jitted
     reverse pass; outputs are cropped back to each true length.
+
+    ``seed`` / ``temp`` may be per-item lists: each item's noise is drawn
+    from its OWN seed at the padded length, so an item's audio depends only
+    on (mel, seed, temp, padded length) — never on its batch companions.
+    A scalar seed expands to ``seed + i`` per item so batch rows still get
+    distinct noise.
     """
     dt = compute_dtype or (jnp.bfloat16
                            if cfg.train.compute_dtype == "bfloat16"
                            else jnp.float32)
-    temp = cfg.train.temp if temp is None else temp
+    n = len(mels)
+    seeds = [seed + i for i in range(n)] if isinstance(seed, int) else seed
+    if temp is None or isinstance(temp, (int, float)):
+        t0 = cfg.train.temp if temp is None else float(temp)
+        temps = [t0] * n
+    else:
+        temps = [cfg.train.temp if t is None else float(t) for t in temp]
+    if len(seeds) != n or len(temps) != n:
+        raise ValueError(f"need {n} seeds/temps, got {len(seeds)}/{len(temps)}")
+
     hop = cfg.audio.hop_size
     frames = [_usable_frames(m.shape[0], cfg) for m in mels]
     pad_frames = max(frames)
@@ -64,19 +90,20 @@ def synthesize_mels(params, cfg: Config, mels: list[np.ndarray],
     while (pad_frames * hop) % cfg.model.squeeze_factor != 0:
         pad_frames += 1
 
-    batch = np.zeros((len(mels), pad_frames, cfg.audio.num_mels), np.float32)
+    batch = np.zeros((n, pad_frames, cfg.audio.num_mels), np.float32)
     for i, m in enumerate(mels):
         batch[i, : frames[i]] = m[: frames[i]]
 
-    rng = np.random.RandomState(seed)
-    z = rng.randn(len(mels), pad_frames * hop, 1).astype(np.float32) * temp
+    z = np.stack([
+        np.random.RandomState(s % (2 ** 32)).randn(pad_frames * hop, 1) * t
+        for s, t in zip(seeds, temps)]).astype(np.float32)
     g = (np.asarray(speaker_ids, np.int32)
          if cfg.model.gin_channels > 0 and speaker_ids is not None else None)
 
-    wav = reverse(params, cfg.model, jnp.asarray(z), jnp.asarray(batch), g,
-                  compute_dtype=dt)
+    wav = _jitted_reverse(cfg.model, dt)(
+        params, jnp.asarray(z), jnp.asarray(batch), g)
     wav = np.asarray(wav.astype(jnp.float32))
-    return [wav[i, : frames[i] * hop, 0] for i in range(len(mels))]
+    return [wav[i, : frames[i] * hop, 0] for i in range(n)]
 
 
 def main(argv=None):

@@ -107,6 +107,53 @@ def test_unknown_path(server):
     assert c.getresponse().status == 404
 
 
+def test_per_request_seed_and_temp(server):
+    """X-Seed / X-Temp are honored per request even when micro-batched:
+    different seeds give different audio; the same (mel, seed, temp) is
+    bit-identical no matter which companions share the batch."""
+    body = _mel_bytes(frames=8, seed=42)
+
+    def call(seed, temp, out, key):
+        c = _conn(server)
+        headers = {"Content-Length": str(len(body)), "X-Seed": str(seed)}
+        if temp is not None:
+            headers["X-Temp"] = str(temp)
+        c.request("POST", "/synthesize", body=body, headers=headers)
+        r = c.getresponse()
+        assert r.status == 200
+        out[key] = r.read()
+
+    # round 1: seeds 1, 2, 2(temp=0.1) fired concurrently (one micro-batch)
+    out1 = {}
+    threads = [
+        threading.Thread(target=call, args=(1, None, out1, "s1")),
+        threading.Thread(target=call, args=(2, None, out1, "s2")),
+        threading.Thread(target=call, args=(2, 0.1, out1, "s2cold")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert out1["s1"] != out1["s2"], "different seeds must differ"
+    assert out1["s2"] != out1["s2cold"], "different temps must differ"
+
+    # round 2: same three requests behind a different companion set
+    out2 = {}
+    threads = [
+        threading.Thread(target=call, args=(9, None, out2, "other")),
+        threading.Thread(target=call, args=(1, None, out2, "s1")),
+        threading.Thread(target=call, args=(2, None, out2, "s2")),
+        threading.Thread(target=call, args=(2, 0.1, out2, "s2cold")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for k in ("s1", "s2", "s2cold"):
+        assert out1[k] == out2[k], \
+            f"{k}: same (mel, seed, temp) must be batch-composition-invariant"
+
+
 def test_service_direct_api():
     params = init_flowavenet(jax.random.PRNGKey(1), CFG.model)
     svc = SynthesisService(params, CFG, max_batch=2, batch_window_ms=5.0)

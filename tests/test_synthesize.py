@@ -1,0 +1,67 @@
+"""synthesize_mels: bucketing/no-recompile and per-item determinism."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import jax
+from flowavenet_tpu.config import tiny
+from flowavenet_tpu.models.flowavenet import init_flowavenet
+from flowavenet_tpu.synthesis.synthesize import (_jitted_reverse,
+                                                 synthesize_mels)
+
+CFG = tiny()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_flowavenet(jax.random.PRNGKey(0), CFG.model)
+
+
+def _mel(frames, seed=0):
+    return np.random.RandomState(seed).rand(
+        frames, CFG.model.num_mels).astype(np.float32)
+
+
+def test_bucketing_reuses_compiled_reverse(params):
+    """Two different clip lengths in the same bucket share one compiled
+    reverse (the in-training synthesis probe relies on this: a new eval clip
+    length must not recompile)."""
+    fn = _jitted_reverse(CFG.model, jnp.float32)
+    synthesize_mels(params, CFG, [_mel(8)], bucket_frames=16)
+    n_compiled = fn._cache_size()
+    synthesize_mels(params, CFG, [_mel(6, seed=1)], bucket_frames=16)
+    synthesize_mels(params, CFG, [_mel(13, seed=2)], bucket_frames=16)
+    assert fn._cache_size() == n_compiled, \
+        "same-bucket lengths must reuse the compiled reverse"
+
+
+def test_per_item_seed_is_batch_invariant(params):
+    """An item's audio depends only on (mel, seed, temp, bucket) — adding a
+    companion to the batch must not change it."""
+    mel = _mel(8)
+    solo = synthesize_mels(params, CFG, [mel], seed=[5], bucket_frames=16)[0]
+    with_pal = synthesize_mels(params, CFG, [_mel(6, seed=9), mel],
+                               seed=[11, 5], bucket_frames=16)[1]
+    np.testing.assert_array_equal(solo, with_pal)
+
+
+def test_per_item_seed_and_temp_differ(params):
+    mel = _mel(8)
+    w = synthesize_mels(params, CFG, [mel, mel, mel],
+                        seed=[1, 2, 2], temp=[None, None, 0.1],
+                        bucket_frames=16)
+    assert not np.array_equal(w[0], w[1]), "different seeds must differ"
+    assert not np.array_equal(w[1], w[2]), "different temps must differ"
+
+
+def test_scalar_seed_rows_distinct(params):
+    """A scalar seed expands to distinct per-row noise (CLI behaviour)."""
+    mel = _mel(8)
+    w = synthesize_mels(params, CFG, [mel, mel], seed=3, bucket_frames=16)
+    assert not np.array_equal(w[0], w[1])
+
+
+def test_seed_length_mismatch_raises(params):
+    with pytest.raises(ValueError, match="seeds/temps"):
+        synthesize_mels(params, CFG, [_mel(8)], seed=[1, 2])
