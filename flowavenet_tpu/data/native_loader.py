@@ -56,6 +56,7 @@ def load_library() -> ctypes.CDLL:
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.fwrec_batch.restype = ctypes.c_int64
     lib.fwrec_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, f32p, f32p, i32p]
@@ -103,11 +104,19 @@ class NativeCropDataset:
                          np.float32),
                 np.empty((self.batch_size,), np.int32))
 
+    @staticmethod
+    def _check_rc(rc: int, hop: int) -> None:
+        if rc < 0:
+            raise ValueError(
+                f"record {~rc}: audio shorter than mel_frames * hop ({hop}); "
+                f"audio/mel misaligned FwRecords file")
+
     def batch_at(self, step: int) -> dict:
         audio, mel, sid = self._alloc()
-        self._lib.fwrec_batch(self._h, self.seed, step, self.batch_size,
-                              self.mel_crop, self.hop,
-                              audio.reshape(-1), mel.reshape(-1), sid)
+        rc = self._lib.fwrec_batch(self._h, self.seed, step, self.batch_size,
+                                   self.mel_crop, self.hop,
+                                   audio.reshape(-1), mel.reshape(-1), sid)
+        self._check_rc(rc, self.hop)
         out = {"audio": audio, "mel": mel}
         if self.with_speaker:
             out["speaker"] = sid
@@ -115,9 +124,10 @@ class NativeCropDataset:
 
     def iterate(self, start_step: int = 0, prefetch: int = 3
                 ) -> Iterator[dict]:
-        self._lib.fwrec_prefetch_start(self._h, self.seed, start_step,
-                                       self.batch_size, self.mel_crop,
-                                       self.hop, prefetch)
+        rc = self._lib.fwrec_prefetch_start(self._h, self.seed, start_step,
+                                            self.batch_size, self.mel_crop,
+                                            self.hop, prefetch)
+        self._check_rc(rc, self.hop)
         while True:
             audio, mel, sid = self._alloc()
             step = self._lib.fwrec_prefetch_next(

@@ -127,6 +127,15 @@ class FwRecordReader:
             raise IndexError(
                 f"crop [{mel_start}, {mel_start + mel_frames}) exceeds "
                 f"{m.mel_frames} mel frames of record {i}")
+        if (mel_start + mel_frames) * hop > m.audio_len:
+            # A record written without the audio_len == mel_frames*hop
+            # alignment contract (e.g. a custom pipeline bypassing
+            # process_wav) would otherwise silently read the NEXT record's
+            # header bytes as audio.
+            raise ValueError(
+                f"record {i}: audio_len={m.audio_len} shorter than crop end "
+                f"{(mel_start + mel_frames) * hop} (= {mel_start + mel_frames}"
+                f" mel frames * hop {hop}); audio/mel misaligned record")
         base = int(self.offsets[i]) + _HDR_BYTES
         a_off = base + mel_start * hop * 4
         audio = np.frombuffer(self._mm, dtype=np.float32,

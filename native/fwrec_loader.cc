@@ -89,6 +89,16 @@ struct Loader {
     stop.store(false);
   }
 
+  // Every in-range crop assumes audio_len >= mel_frames * hop (the writer
+  // contract, records.py).  A record violating it would make fill_with read
+  // the NEXT record's header bytes as audio — fail loudly instead.
+  int64_t first_misaligned(int hop_) const {
+    for (size_t i = 0; i < meta.size(); ++i)
+      if (meta[i].audio_len < meta[i].mel_frames * int64_t(hop_))
+        return int64_t(i);
+    return -1;
+  }
+
   void fill_with(uint64_t seed_, uint64_t step, int batch_, int mel_crop_,
                  int hop_, float* audio_out, float* mel_out,
                  int32_t* sid_out) const {
@@ -209,16 +219,23 @@ void fwrec_record_meta(Loader* l, int64_t i, int64_t* out4) {
 
 // Synchronous deterministic batch for a given step (stateless w.r.t. the
 // prefetch configuration, so it can run concurrently with it).
-void fwrec_batch(Loader* l, uint64_t seed, uint64_t step, int batch,
-                 int mel_crop, int hop, float* audio_out, float* mel_out,
-                 int32_t* sid_out) {
+// Returns 0, or ~index of the first audio/mel-misaligned record.
+int64_t fwrec_batch(Loader* l, uint64_t seed, uint64_t step, int batch,
+                    int mel_crop, int hop, float* audio_out, float* mel_out,
+                    int32_t* sid_out) {
+  int64_t bad = l->first_misaligned(hop);
+  if (bad >= 0) return ~bad;
   l->fill_with(seed, step, batch, mel_crop, hop, audio_out, mel_out,
                sid_out);
+  return 0;
 }
 
 // Background producer: bounded queue of ready batches.
+// Returns 0, or ~index of the first audio/mel-misaligned record.
 int fwrec_prefetch_start(Loader* l, uint64_t seed, uint64_t start_step,
                          int batch, int mel_crop, int hop, int depth) {
+  int64_t bad = l->first_misaligned(hop);
+  if (bad >= 0) return int(~bad);
   l->stop_prefetch();
   l->seed = seed;
   l->next_step = start_step;

@@ -53,6 +53,23 @@ def test_record_crop_read(tmp_path):
     r.close()
 
 
+def test_misaligned_record_crop_rejected(tmp_path):
+    """A record whose audio is shorter than mel_frames*hop (written by a
+    pipeline bypassing the alignment contract) must fail loudly instead of
+    silently reading the next record's bytes as audio."""
+    p = tmp_path / "a.fwrec"
+    with FwRecordWriter(str(p)) as w:
+        mel = np.random.RandomState(0).rand(10, 4).astype(np.float32)
+        w.write(np.zeros(12, np.float32), mel)  # needs 10*4=40 samples
+        w.write(np.zeros(40, np.float32), mel)
+    r = FwRecordReader(str(p))
+    with pytest.raises(ValueError, match="misaligned"):
+        r.read_crop(0, mel_start=2, mel_frames=5, hop=4)
+    # the aligned record still reads fine
+    r.read_crop(1, mel_start=2, mel_frames=5, hop=4)
+    r.close()
+
+
 def test_bad_magic(tmp_path):
     p = tmp_path / "bad.fwrec"
     p.write_bytes(b"NOTMAGIC" + b"\x00" * 64)

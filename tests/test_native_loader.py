@@ -35,6 +35,24 @@ def test_open_and_meta(lib, tmp_path):
     ds.close()
 
 
+def test_misaligned_record_rejected(lib, tmp_path):
+    """audio_len < mel_frames*hop must error loudly (both the synchronous
+    batch path and the prefetch path), mirroring records.read_crop."""
+    p = tmp_path / "bad_align.fwrec"
+    with FwRecordWriter(str(p)) as w:
+        w.write(np.zeros(40, np.float32),
+                np.zeros((10, 3), np.float32))      # aligned (hop 4)
+        w.write(np.zeros(12, np.float32),
+                np.zeros((10, 3), np.float32))      # 12 < 10*4
+    ds = native.NativeCropDataset(str(p), hop_size=4, max_time_steps=16,
+                                  batch_size=2)
+    with pytest.raises(ValueError, match="record 1.*misaligned"):
+        ds.batch_at(0)
+    with pytest.raises(ValueError, match="record 1.*misaligned"):
+        next(ds.iterate())
+    ds.close()
+
+
 def test_open_bad_file(lib, tmp_path):
     p = tmp_path / "bad.fwrec"
     p.write_bytes(b"NOTMAGIC123456789")
