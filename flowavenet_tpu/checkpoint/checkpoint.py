@@ -75,6 +75,13 @@ def latest_checkpoint(directory: str, prefix: str = "ckpt") -> Optional[str]:
     return max(ckpts)[1] if ckpts else None
 
 
+def read_meta(path: str) -> dict:
+    """Checkpoint JSON metadata (step, keys, plus any extra_meta such as the
+    data-loader kind used for the run)."""
+    with np.load(path, allow_pickle=False) as data:
+        return json.loads(str(data[_META_KEY]))
+
+
 def restore_checkpoint(path: str, target: Any) -> tuple[Any, int]:
     """Restore into the structure of ``target``; returns (tree, step)."""
     with np.load(path, allow_pickle=False) as data:

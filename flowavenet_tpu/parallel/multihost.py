@@ -52,7 +52,11 @@ def host_batch_slice(global_batch: int) -> slice:
 
 
 def make_global_batch(batch: dict, sharding_tree: dict) -> dict:
-    """Assemble host-local numpy rows into global sharded jax.Arrays."""
+    """Assemble host-local numpy rows into global sharded jax.Arrays.
+
+    Each process passes ONLY the rows from ``host_batch_slice``; the global
+    array spans all processes' shards (no cross-host data movement — each
+    host's rows land on its own addressable devices)."""
     out = {}
     for k, v in batch.items():
         sh = sharding_tree[k]
@@ -63,3 +67,19 @@ def make_global_batch(batch: dict, sharding_tree: dict) -> dict:
             out[k] = jax.make_array_from_process_local_data(
                 sh, np.asarray(v), global_shape)
     return out
+
+
+def put_tree(tree, sharding_tree):
+    """Place a host-replicated pytree (train state, params) onto a global
+    sharding.  Single-process: plain device_put.  Multi-process: every
+    process holds the full (identical) value, and
+    ``make_array_from_process_local_data`` maps it onto each process's
+    addressable shards of the global (replicated or TP-sharded) layout."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding_tree)
+
+    def place(leaf, sh):
+        return jax.make_array_from_process_local_data(
+            sh, np.asarray(leaf), np.shape(leaf))
+
+    return jax.tree.map(place, tree, sharding_tree)

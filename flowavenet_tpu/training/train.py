@@ -21,13 +21,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..checkpoint.checkpoint import (latest_checkpoint, restore_checkpoint,
-                                     save_checkpoint)
+from ..checkpoint.checkpoint import (latest_checkpoint, read_meta,
+                                     restore_checkpoint, save_checkpoint)
 from ..config import Config, get_config
 from ..data.dataset import CropDataset
 from ..data.records import FwRecordReader
-from ..models.flowavenet import reverse
 from ..parallel.mesh import batch_sharding, make_mesh, param_sharding
+from ..parallel.multihost import (host_batch_slice, initialize_distributed,
+                                  make_global_batch, put_tree)
 from .metrics import MetricsWriter, format_step
 from .train_state import (TrainState, create_state, ddi_initialize,
                           make_eval_step, make_train_step)
@@ -51,6 +52,7 @@ def train(cfg: Config, data_dir: str, logdir: str, *, restore: bool = True,
           checkpoint_interval: int | None = None,
           eval_interval: int | None = None, devices=None,
           probe_synthesis: bool = True, loader: str = "python",
+          allow_loader_switch: bool = False,
           tensorboard: bool = False, profile_steps: int = 0) -> str:
     t_cfg = cfg.train
     train_steps = train_steps or t_cfg.train_steps
@@ -99,22 +101,47 @@ def train(cfg: Config, data_dir: str, logdir: str, *, restore: bool = True,
         else ("audio", "mel")
     b_sharding = batch_sharding(mesh, cfg.mesh, batch_keys)
 
+    # Multi-host input path: every process computes the same global batch
+    # deterministically (counter-based sampling), keeps only its own rows,
+    # and assembles the global sharded arrays from process-local data —
+    # a plain device_put of the global batch is wrong on a pod
+    # (/root/reference/train.py:42-55 rebuild; SURVEY §5.8).
+    rows = host_batch_slice(global_batch)
+
     def put_batch(b):
-        return {k: jax.device_put(v, b_sharding[k]) for k, v in b.items()}
+        local = {k: v[rows] for k, v in b.items()} \
+            if jax.process_count() > 1 else b
+        return make_global_batch(local, b_sharding)
 
     # ---- restore or DDI-init (train.py:211-230) -------------------------
     start_step = 0
     ckpt = latest_checkpoint(save_dir) if restore else None
     if ckpt is not None:
         print(f"Loading checkpoint {ckpt}")
+        # The python and native loaders are each deterministic but use
+        # different PRNGs (Philox vs splitmix64): switching loaders mid-run
+        # silently changes the data stream, so refuse unless asked.
+        ckpt_loader = read_meta(ckpt).get("loader")
+        if ckpt_loader is not None and ckpt_loader != loader:
+            if allow_loader_switch:
+                print(f"WARNING: resuming a --loader={ckpt_loader} run with "
+                      f"--loader={loader}; the data stream will differ")
+            else:
+                raise ValueError(
+                    f"checkpoint {ckpt} was trained with --loader="
+                    f"{ckpt_loader} but this run uses --loader={loader}; "
+                    f"their PRNGs differ so the data stream would silently "
+                    f"change. Pass --allow_loader_switch to proceed.")
         state, start_step = restore_checkpoint(ckpt, state)
         state = TrainState(jnp.asarray(start_step, jnp.int32), state.params,
                            state.opt_state)
     else:
         print("Init ActNorm layers (DDI)...", end="", flush=True)
+        # DDI on the full global batch on every process (identical stats
+        # everywhere, so params stay replicated-consistent)
         state = ddi_initialize(state, cfg, dataset.batch_at(0))
         print(" OK")
-    state = jax.device_put(state, st_sharding)
+    state = put_tree(state, st_sharding)
 
     train_step = jax.jit(make_train_step(cfg), donate_argnums=0,
                          in_shardings=(st_sharding, b_sharding),
@@ -142,24 +169,33 @@ def train(cfg: Config, data_dir: str, logdir: str, *, restore: bool = True,
                 print(f"\nprofile trace written to {logdir}/profile")
             print(format_step(step, dt, metrics), end="\r")
 
+            is_lead = jax.process_index() == 0
             if step % summary_interval == 0 or step == 1:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 metrics["sec_per_step"] = dt
                 metrics["samples_per_sec"] = (global_batch
                                               * dataset.time_crop / dt)
-                writer.scalars(step, metrics)
-                if tb is not None:
-                    tb.scalars(step, metrics)
+                if is_lead:
+                    writer.scalars(step, metrics)
+                    if tb is not None:
+                        tb.scalars(step, metrics)
                 if test_dataset is not None:
                     eval_batch = put_batch(test_dataset.batch_at(step))
-                    test_writer.scalars(
-                        step, eval_step(state.params, eval_batch))
+                    eval_metrics = eval_step(state.params, eval_batch)
+                    if is_lead:
+                        test_writer.scalars(step, eval_metrics)
                 print()
 
             if step % checkpoint_interval == 0 or step == train_steps:
-                save_checkpoint(save_dir, step, jax.device_get(state))
+                # params/opt are replicated (or addressable-shard-complete
+                # on a single host), so device_get is process-local; only
+                # the lead process writes.
+                if is_lead:
+                    save_checkpoint(save_dir, step, jax.device_get(state),
+                                    extra_meta={"loader": loader})
 
-            if probe_synthesis and step % eval_interval == 0:
+            if probe_synthesis and step % eval_interval == 0 \
+                    and jax.process_index() == 0:
                 _synthesis_probe(state, cfg, data_dir, writer, step)
     print()
     return save_dir
@@ -168,7 +204,11 @@ def train(cfg: Config, data_dir: str, logdir: str, *, restore: bool = True,
 def _synthesis_probe(state: TrainState, cfg: Config, data_dir: str,
                      writer: MetricsWriter, step: int) -> None:
     """In-training synthesis of a random test utterance (train.py:118-150).
-    Unlike the reference, the sample is re-drawn every eval."""
+    Unlike the reference, the sample is re-drawn every eval.  Goes through
+    ``synthesize_mels`` so clip lengths are bucketed and the jitted reverse
+    is shared across evals — a new clip length does NOT recompile."""
+    from ..synthesis.synthesize import synthesize_mels
+
     path = os.path.join(data_dir, "test.fwrec")
     if not os.path.exists(path):
         path = os.path.join(data_dir, "train.fwrec")
@@ -179,20 +219,18 @@ def _synthesis_probe(state: TrainState, cfg: Config, data_dir: str,
     reader.close()
 
     max_frames = cfg.data.eval_max_time_steps // cfg.audio.hop_size
-    sq = cfg.model.squeeze_factor
     frames = min(mel.shape[0], max_frames)
-    # T = frames*hop must divide by 2**n_block
-    while (frames * cfg.audio.hop_size) % sq != 0 and frames > 1:
-        frames -= 1
-    mel = mel[:frames][None]
-    t = frames * cfg.audio.hop_size
-    z = rng.randn(1, t, 1).astype(np.float32) * cfg.train.temp
-
-    g = np.asarray([sid], np.int32) if cfg.model.gin_channels > 0 else None
-    wav = reverse(state.params, cfg.model, jnp.asarray(z), jnp.asarray(mel),
-                  g, compute_dtype=jnp.float32)
-    writer.wav(step, "prediction", np.asarray(wav), cfg.audio.sample_rate)
-    writer.wav(step, "target", audio[:t], cfg.audio.sample_rate)
+    sids = [sid] if cfg.model.gin_channels > 0 else None
+    # On a pod the probe runs on the lead process only, so pull the
+    # (replicated) params to host first — computing on the global arrays
+    # from one process would require all processes to participate.
+    params = jax.device_get(state.params) if jax.process_count() > 1 \
+        else state.params
+    wavs = synthesize_mels(params, cfg, [mel[:frames]],
+                           seed=int(rng.randint(2 ** 31)),
+                           speaker_ids=sids)
+    writer.wav(step, "prediction", wavs[0], cfg.audio.sample_rate)
+    writer.wav(step, "target", audio[: len(wavs[0])], cfg.audio.sample_rate)
 
 
 def main(argv=None):
@@ -215,12 +253,29 @@ def main(argv=None):
                         default="python",
                         help="host input pipeline: pure-python or the C++ "
                              "fwrec loader (native/)")
+    parser.add_argument("--allow_loader_switch", action="store_true",
+                        help="resume a checkpoint trained with the other "
+                             "--loader (the data stream WILL differ; their "
+                             "PRNGs are not bit-compatible)")
     parser.add_argument("--tensorboard", action="store_true",
                         help="also mirror metrics into TB event files "
                              "(needs tensorflow)")
     parser.add_argument("--profile_steps", type=int, default=0,
                         help="trace N steady-state steps with jax.profiler")
+    parser.add_argument("--coordinator_address", default=None,
+                        help="host:port of process 0 for multi-host runs "
+                             "(auto-detected on TPU pods; see "
+                             "parallel/multihost.py)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--distributed", action="store_true",
+                        help="call jax.distributed.initialize() with "
+                             "auto-detection (TPU pod environments)")
     args = parser.parse_args(argv)
+
+    if args.distributed or args.coordinator_address is not None:
+        initialize_distributed(args.coordinator_address,
+                               args.num_processes, args.process_id)
 
     cfg = get_config(args.config)
     data_dir = os.path.join(args.base_dir, args.data_dir)
@@ -231,6 +286,7 @@ def main(argv=None):
           summary_interval=args.summary_interval,
           checkpoint_interval=args.checkpoint_interval,
           eval_interval=args.eval_interval, loader=args.loader,
+          allow_loader_switch=args.allow_loader_switch,
           tensorboard=args.tensorboard, profile_steps=args.profile_steps)
 
 

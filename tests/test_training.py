@@ -149,6 +149,39 @@ def test_deterministic_resume(tmp_path, key, rng):
         np.testing.assert_array_equal(a, b)
 
 
+def test_resume_with_other_loader_fails_loudly(tmp_path, key):
+    """The python and native loaders use different PRNGs; resuming a run
+    with the other loader must raise unless explicitly allowed (the stream
+    would silently change otherwise)."""
+    pytest.importorskip("flowavenet_tpu.data.native_loader")
+    from flowavenet_tpu.data.records import FwRecordWriter
+    from flowavenet_tpu.training.train import train
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    r = np.random.RandomState(0)
+    hop = CFG.audio.hop_size
+    with FwRecordWriter(str(data_dir / "train.fwrec")) as w:
+        for _ in range(2):
+            w.write(r.randn(40 * hop).astype(np.float32),
+                    r.rand(40, CFG.model.num_mels).astype(np.float32))
+
+    logdir = str(tmp_path / "logs")
+    kw = dict(train_steps=1, checkpoint_interval=1, summary_interval=10,
+              eval_interval=10, probe_synthesis=False)
+    try:
+        train(CFG, str(data_dir), logdir, loader="python", **kw)
+    except RuntimeError as e:  # native toolchain missing etc.
+        pytest.skip(f"train smoke unavailable: {e}")
+    with pytest.raises(ValueError, match="allow_loader_switch"):
+        train(CFG, str(data_dir), logdir, loader="native", **kw)
+    # explicit override proceeds (and re-checkpoints with the new loader)
+    train(CFG, str(data_dir), logdir, loader="native",
+          allow_loader_switch=True,
+          train_steps=2, checkpoint_interval=1, summary_interval=10,
+          eval_interval=10, probe_synthesis=False)
+
+
 def test_checkpoint_survives_partial_tmp(tmp_path):
     """A crashed save (leftover .tmp) must not break restore-latest."""
     save_checkpoint(str(tmp_path), 3, {"w": jnp.ones((2,))})
