@@ -1,0 +1,254 @@
+"""Generate the FULL-MODEL TF golden fixture for NLL parity.
+
+Builds a tiny (2 blocks x 2 flows x 2 layers) model with the REFERENCE's
+exact semantics in TF 2.21 — upsample head (conv2d_transpose, WN axes [0,2],
+leaky_relu 0.4; /root/reference/model.py:301-311,398-404), squeeze layout
+2c+p (model.py:224-239), ActNorm (model.py:55-80), affine coupling +
+WaveNet coupling net (model.py:108-164, modules.py:62-189), change_order
+(model.py:166-174), loss heads (model.py:342-347) — under the reference's
+variable naming scheme (vocoder/FloWaveNet/Block_i/Flow_j/...), and saves:
+
+  tests/fixtures/full_model_golden.npz
+    x, c                      inputs
+    log_p, logdet             TF-computed golden values
+    var:<name>                every model variable, importer-consumable
+
+The parity test (tests/test_tf_parity.py) feeds the var: mapping through
+checkpoint/tf_import.py and asserts our forward reproduces (log_p, logdet).
+
+Run: python tools/gen_tf_full_model_fixture.py
+"""
+
+import math
+import os
+
+import numpy as np
+
+os.environ["CUDA_VISIBLE_DEVICES"] = ""
+import tensorflow as tf  # noqa: E402
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
+SCOPE = "vocoder/FloWaveNet"
+
+# tiny geometry (matches the cfg in the parity test)
+N_BLOCK, N_FLOW, N_LAYER = 2, 2, 2
+FILTER_SIZE = 16
+NUM_MELS = 8
+UPSAMPLE_SCALES = (4, 4)          # hop = 16
+B, FRAMES = 2, 4
+HOP = int(np.prod(UPSAMPLE_SCALES))
+T = FRAMES * HOP
+
+rng = np.random.RandomState(2024)
+VARS: dict[str, np.ndarray] = {}
+_conv1d_counter = [0]
+
+
+def _conv1d_name() -> str:
+    i = _conv1d_counter[0]
+    _conv1d_counter[0] += 1
+    return "conv1d" if i == 0 else f"conv1d_{i}"
+
+
+def make_wn_conv(prefix: str, k: int, cin: int, cout: int,
+                 scale: float = 0.3):
+    """Register a weight-normalized conv's raw vars under reference names."""
+    name = f"{prefix}/{_conv1d_name()}"
+    v = (scale * rng.randn(k, cin, cout)).astype(np.float32)
+    g = (1.0 + 0.1 * rng.randn(cout)).astype(np.float32)
+    b = (0.1 * rng.randn(cout)).astype(np.float32)
+    VARS[f"{name}/kernel"] = v
+    VARS[f"{name}/wn/g"] = g
+    VARS[f"{name}/bias"] = b
+    return v, g, b
+
+
+def wn_kernel(v, g):
+    """convolutional.py:80: l2_normalize(v, axis=[0,1]) * g."""
+    n = v / np.sqrt(np.maximum((v ** 2).sum(axis=(0, 1), keepdims=True),
+                               1e-12))
+    return (n * g).astype(np.float32)
+
+
+def conv1d(x, kern, bias, dilation=1):
+    """Reference Conv wrapper, non-causal: pad d*(k-1)//2 both sides
+    (modules.py:15,27)."""
+    k = kern.shape[0]
+    pad = dilation * (k - 1) // 2
+    xp = tf.pad(x, [[0, 0], [pad, pad], [0, 0]])
+    return tf.nn.conv1d(xp, kern, stride=1, padding="VALID",
+                        dilations=dilation) + bias
+
+
+def conv1x1(x, kern, bias):
+    return tf.nn.conv1d(x, kern, stride=1, padding="VALID") + bias
+
+
+def squeeze(x):
+    """model.py:224-239: [B,T,C] -> [B,T/2,2C], out channel 2c+p."""
+    b, t, c = x.shape
+    x = tf.reshape(x, [b, t // 2, 2, c])
+    x = tf.transpose(x, [0, 1, 3, 2])
+    return tf.reshape(x, [b, t // 2, 2 * c])
+
+
+def change_order(x):
+    c = int(x.shape[-1])
+    return tf.concat([x[..., c // 2:], x[..., : c // 2]], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# Build variables + forward, block by block (creation order mirrors the
+# reference: upsample first, then blocks/flows; within a WaveNet: front,
+# per-ResBlock [filter, gate, res, skip, filter_c, gate_c], final, zero —
+# the order the importer's keras-index tie-break assumes).
+# --------------------------------------------------------------------------
+
+def make_upsample():
+    stages = []
+    for i, s in enumerate(UPSAMPLE_SCALES):
+        name = "conv2d_transpose" if i == 0 else f"conv2d_transpose_{i}"
+        v = (0.3 * rng.randn(2 * s, 3, 1, 1)).astype(np.float32)
+        g = np.array([1.1], np.float32)
+        b = (0.1 * rng.randn(1)).astype(np.float32)
+        VARS[f"{SCOPE}/{name}/kernel"] = v
+        VARS[f"{SCOPE}/{name}/wn/g"] = g
+        VARS[f"{SCOPE}/{name}/bias"] = b
+        stages.append((v, g, b, s))
+    return stages
+
+
+def apply_upsample(c, stages):
+    h = tf.constant(c[..., None])          # [B, Tm, M, 1]
+    for v, g, b, s in stages:
+        # convolutional.py:186: l2_normalize(kernel, axis=[0,2]) * g
+        n = v / np.sqrt(np.maximum((v ** 2).sum(axis=(0, 2), keepdims=True),
+                                   1e-12))
+        kern = (n * g).astype(np.float32)
+        out_shape = [int(h.shape[0]), int(h.shape[1]) * s, int(h.shape[2]), 1]
+        h = tf.nn.conv2d_transpose(h, kern, output_shape=out_shape,
+                                   strides=[1, s, 1, 1], padding="SAME")
+        h = tf.nn.leaky_relu(h + b, 0.4)   # model.py:307
+    return tf.squeeze(h, 3)                # [B, T, M]
+
+
+def make_wavenet(prefix: str, in_ch: int, out_ch: int, cin_ch: int):
+    w = {"front": make_wn_conv(f"{prefix}/Conv_front", 3, in_ch, FILTER_SIZE),
+         "layers": []}
+    for n in range(N_LAYER):
+        rp = f"{prefix}/ResBlock_0_{n}"
+        layer = {
+            "filter": make_wn_conv(f"{rp}/Conv_filter", 3, FILTER_SIZE,
+                                   FILTER_SIZE),
+            "gate": make_wn_conv(f"{rp}/Conv_gate", 3, FILTER_SIZE,
+                                 FILTER_SIZE),
+            # creation order: res, skip, filter_c, gate_c (modules.py:77-97)
+            "res": make_wn_conv(rp, 1, FILTER_SIZE, FILTER_SIZE),
+            "skip": make_wn_conv(rp, 1, FILTER_SIZE, FILTER_SIZE),
+            "filter_c": make_wn_conv(rp, 1, cin_ch, FILTER_SIZE),
+            "gate_c": make_wn_conv(rp, 1, cin_ch, FILTER_SIZE),
+        }
+        w["layers"].append(layer)
+    w["final"] = make_wn_conv(f"{prefix}/Conv_final", 1, FILTER_SIZE,
+                              FILTER_SIZE)
+    zp = f"{prefix}/ZeroConv1d/{_conv1d_name()}"
+    # non-zero "zero" conv so log_s/t are non-trivial in the fixture
+    zw = (0.3 * rng.randn(1, FILTER_SIZE, out_ch)).astype(np.float32)
+    zb = (0.1 * rng.randn(out_ch)).astype(np.float32)
+    zs = (0.2 * rng.randn(1, 1, out_ch)).astype(np.float32)
+    VARS[f"{zp}/kernel"] = zw
+    VARS[f"{zp}/bias"] = zb
+    VARS[f"{prefix}/ZeroConv1d/scale"] = zs
+    w["zero"] = (zw, zb, zs)
+    return w
+
+
+def apply_wavenet(w, x, c):
+    """modules.py:161-186 (gated units modules.py:110-128)."""
+    fv, fgain, fb = w["front"]
+    h = tf.nn.relu(conv1d(x, wn_kernel(fv, fgain), fb, dilation=1))
+    skip_sum = None
+    for n, layer in enumerate(w["layers"]):
+        d = 3 ** n                                     # modules.py:152
+        filt = conv1d(h, wn_kernel(*layer["filter"][:2]),
+                      layer["filter"][2], dilation=d)
+        gate = conv1d(h, wn_kernel(*layer["gate"][:2]),
+                      layer["gate"][2], dilation=d)
+        filt += conv1x1(c, wn_kernel(*layer["filter_c"][:2]),
+                        layer["filter_c"][2])
+        gate += conv1x1(c, wn_kernel(*layer["gate_c"][:2]),
+                        layer["gate_c"][2])
+        out = tf.tanh(filt) * tf.sigmoid(gate)         # modules.py:124
+        res = conv1x1(out, wn_kernel(*layer["res"][:2]), layer["res"][2])
+        h = (h + res) * math.sqrt(0.5)                 # modules.py:128
+        s = conv1x1(out, wn_kernel(*layer["skip"][:2]), layer["skip"][2])
+        skip_sum = s if skip_sum is None else skip_sum + s
+    out = tf.nn.relu(skip_sum)
+    out = tf.nn.relu(conv1x1(out, wn_kernel(*w["final"][:2]), w["final"][2]))
+    zw, zb, zs = w["zero"]
+    return (conv1x1(out, zw, zb)) * tf.exp(zs * 3.0)   # modules.py:55-57
+
+
+def main():
+    os.makedirs(FIXDIR, exist_ok=True)
+    x_np = (0.3 * rng.randn(B, T, 1)).astype(np.float32)
+    c_np = rng.rand(B, FRAMES, NUM_MELS).astype(np.float32)
+
+    up = make_upsample()
+
+    # variables for all blocks/flows (creation order = reference order)
+    blocks = []
+    in_ch, cin_ch = 1, NUM_MELS
+    for i in range(N_BLOCK):
+        sq, sq_c = 2 * in_ch, 2 * cin_ch
+        flows = []
+        for j in range(N_FLOW):
+            fp = f"{SCOPE}/Block_{i}/Flow_{j}"
+            an_b = (0.1 * rng.randn(1, 1, sq)).astype(np.float32)
+            an_logs = (0.1 * rng.randn(1, 1, sq)).astype(np.float32)
+            VARS[f"{fp}/ActNorm/b"] = an_b
+            VARS[f"{fp}/ActNorm/logs"] = an_logs
+            wn = make_wavenet(f"{fp}/AffineCoupling/WaveNet",
+                              sq // 2, sq, sq_c // 2)
+            flows.append((an_b, an_logs, wn))
+        blocks.append(flows)
+        in_ch, cin_ch = in_ch * 2, cin_ch * 2
+
+    # ---- forward (model.py:317-347) ------------------------------------
+    x = tf.constant(x_np)
+    c = apply_upsample(c_np, up)
+    logdet = tf.constant(0.0)
+    for flows in blocks:
+        x, c = squeeze(x), squeeze(c)                  # model.py:224-239
+        for an_b, an_logs, wn in flows:
+            # ActNorm (model.py:55-80)
+            x = (x + an_b) * tf.exp(an_logs * 3.0)
+            logdet += tf.reduce_mean(an_logs * 3.0)
+            # AffineCoupling (model.py:121-135)
+            ch = int(x.shape[-1])
+            in_a, in_b = x[..., : ch // 2], x[..., ch // 2:]
+            c_a = c[..., : int(c.shape[-1]) // 2]
+            net = apply_wavenet(wn, in_a, c_a)
+            log_s, t = net[..., : ch // 2], net[..., ch // 2:]
+            out_b = (in_b - t) * tf.exp(-log_s)
+            logdet += tf.reduce_mean(-log_s) / 2.0
+            x = tf.concat([in_a, out_b], axis=-1)
+            # change_order (model.py:166-174, applied to x and c)
+            x, c = change_order(x), change_order(c)
+    z = x
+    log_p = tf.reduce_mean(0.5 * (-math.log(2 * math.pi) - z ** 2))
+
+    out = {"x": x_np, "c": c_np,
+           "log_p": np.float32(log_p.numpy()),
+           "logdet": np.float32(logdet.numpy()),
+           "z": z.numpy()}
+    for k, v in VARS.items():
+        out[f"var:{k}"] = v
+    path = os.path.join(FIXDIR, "full_model_golden.npz")
+    np.savez(path, **out)
+    print(f"full_model_golden: log_p={out['log_p']:.6f} "
+          f"logdet={out['logdet']:.6f} vars={len(VARS)} -> {path}")
+
+
+if __name__ == "__main__":
+    main()
