@@ -47,10 +47,16 @@ class ModelConfig:
     # conditioning never reaches the coupling nets.  We fix it; set True to
     # reproduce the reference's behaviour bit-for-bit.
     parity_drop_global_cond: bool = False
-    # Route the gated ResBlocks through the fused Pallas TPU kernel on the
-    # inference (reverse) path.  The training path stays on XLA until the
-    # kernel grows a custom VJP.
-    use_pallas: bool = False
+    # Route synthesis (reverse) through the fused Pallas pair-flow kernel
+    # (ops/pallas_flow.py) on blocks whose conditioning fits VMEM — wins
+    # 275x -> 316x+ real-time on v5e (docs/benchmarks.md); CPU always falls
+    # back to the XLA scan (no Mosaic backend).  Matches the XLA path to
+    # bf16 rounding (tests/test_pallas_flow.py).  The older per-resblock kernel
+    # (ops/pallas_resblock.py, with custom VJP) remains available but is
+    # not routed: measured in-model it loses to XLA's own fusion (1058 vs
+    # 976 ms reverse @ batch 64 x 4 s), and the training path stays on XLA
+    # for the same reason.
+    use_pallas: bool = True
     # Rematerialize each flow step in the backward pass (jax.checkpoint).
     # Measured on v5e: FASTER even at batch 32 (192 vs 225 ms/step — less
     # memory pressure) and raises the max train batch from 32 to 128+
@@ -168,6 +174,16 @@ def lj8k() -> Config:
     )
 
 
+def lj8k_gin() -> Config:
+    """8 kHz multi-speaker profile: hparams8000.py with global (speaker)
+    conditioning enabled (reference hparams.py:39-40: gin_channels=256 when
+    on, n_speakers=7; BASELINE.json configs[2])."""
+    base = lj8k()
+    return base.replace(
+        model=dataclasses.replace(base.model, gin_channels=256,
+                                  n_speakers=7))
+
+
 def tiny() -> Config:
     """Tiny config for tests and the end-to-end smoke slice
     (BASELINE.json configs[0]: 2 blocks x 2 flows)."""
@@ -179,7 +195,7 @@ def tiny() -> Config:
     )
 
 
-PRESETS = {"lj22k": lj22k, "lj8k": lj8k, "tiny": tiny}
+PRESETS = {"lj22k": lj22k, "lj8k": lj8k, "lj8k_gin": lj8k_gin, "tiny": tiny}
 
 
 def get_config(name: str) -> Config:

@@ -237,10 +237,47 @@ def _pair_step_fwd(cfg: ModelConfig, c_a, c_b, g_a, g_b):
     return step
 
 
-# The fused Pallas resblock beats XLA 1.8x on long sequences (42.9 vs
-# 77.9 ms at block-0 shapes) but loses on short ones where per-call
-# overheads dominate; route through it only above this squeezed length.
-PALLAS_MIN_T = 4096
+# (history) The per-resblock Pallas kernels (ops/pallas_resblock.py) beat
+# XLA 1.8x standalone at block-0 shapes but LOSE in-model (1058 vs 976 ms
+# reverse @ batch 64 x 4 s) and are no longer routed; the whole-pair kernel
+# below supersedes them.  They remain available as standalone ops.
+
+# NOTE (measured, round 2): hoisting the per-flow conditioning projections
+# out of the scan into one stacked pre-scan matmul is numerics-neutral but
+# SLOWER on v5e everywhere (block 5: 98 vs 85 ms; block 4: 128 vs 99 ms;
+# full model 1411 vs 1390 ms @ batch 96) — the extra HBM round trip of the
+# hoisted [n_flow, B, T, 2R] tensor costs more than the wider matmul saves.
+# The deep blocks' inefficiency is fusion-boundary/op-count overhead, which
+# the fused Pallas pair kernel (ops/pallas_flow.py) addresses instead.
+
+# Conditioning width limit for the fused pair kernel.  Measured on v5e
+# (batch 96 x 4 s): standalone the kernel wins 584->444 ms on block 0,
+# 331->297 on block 1, 204->186 on block 2; block 3 loses standalone
+# (125->136) but WINS in-model (full reverse 1212.6 ms with block 3 routed
+# vs 1230.6 without).  Cc = 80 * 2^b, so 640 admits blocks 0-3; deeper
+# blocks' weights exceed VMEM and stay on XLA.
+PAIR_KERNEL_MAX_CC = 640
+
+# CPU has no Mosaic backend: the kernel only routes on accelerators, so
+# use_pallas=True is safe as the config default.  Tests flip this to
+# exercise the kernel in interpret mode in-model.
+PAIR_KERNEL_CPU_INTERPRET = False
+
+# Winograd F(2,3) pair kernel (ops/pallas_flow.py) for the narrow-cond
+# blocks; 1.5x fewer MXU FLOPs on the dominant filter|gate convs.
+PAIR_KERNEL_WINO = True
+PAIR_KERNEL_WINO_MAX_CC = 320
+
+
+def _pair_kernel_eligible(cfg: ModelConfig, cc_half: int,
+                          has_g: bool) -> bool:
+    """Route through the fused pair-flow reverse kernel (ops/pallas_flow.py)
+    when its scope covers this block: affine, non-causal, n_layer == 2,
+    no global conditioning, and the conditioning fits VMEM."""
+    if jax.default_backend() == "cpu" and not PAIR_KERNEL_CPU_INTERPRET:
+        return False
+    return (cfg.use_pallas and not has_g and cfg.affine and not cfg.causal
+            and cfg.n_layer == 2 and cc_half <= PAIR_KERNEL_MAX_CC)
 
 
 def _pair_step_rev(cfg: ModelConfig, c_a, c_b, g_a, g_b,
@@ -289,7 +326,7 @@ def block_forward(p: dict, cfg: ModelConfig, x, c, g):
     return x, c, g, jnp.sum(lds)
 
 
-def _flow_step_rev(cfg: ModelConfig, has_g: bool):
+def _flow_step_rev(cfg: ModelConfig, has_g: bool, use_pallas: bool = False):
     def step(carry, fp):
         if has_g:
             x, c, g = carry
@@ -299,7 +336,7 @@ def _flow_step_rev(cfg: ModelConfig, has_g: bool):
         x, c = change_order(x), change_order(c)
         x = coupling_reverse(fp["coupling"], x, c, g,
                              affine=cfg.affine, causal=cfg.causal,
-                             use_pallas=cfg.use_pallas)
+                             use_pallas=use_pallas)
         x = actnorm_reverse(fp["actnorm"], x)
         if has_g:
             return (x, c, g), None
@@ -316,10 +353,26 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c, g):
         u, v = jnp.split(x, 2, axis=2)
         c_a, c_b = jnp.split(c, 2, axis=2)
         g_a, g_b = jnp.split(g, 2, axis=2) if has_g else (None, None)
-        use_pallas = cfg.use_pallas and x.shape[1] >= PALLAS_MIN_T
-        (u, v), _ = jax.lax.scan(
-            _pair_step_rev(cfg, c_a, c_b, g_a, g_b, use_pallas), (u, v),
-            _pair_params(p), reverse=True)
+        if _pair_kernel_eligible(cfg, c_a.shape[-1], has_g):
+            from ..ops import pallas_flow as pf
+            # Winograd F(2,3) variant where its (tighter) VMEM budget
+            # allows; direct-conv kernel otherwise (docs/benchmarks.md).
+            wino = (PAIR_KERNEL_WINO
+                    and c_a.shape[-1] <= PAIR_KERNEL_WINO_MAX_CC)
+            make_ops = (pf.pair_reverse_operands_wino if wino
+                        else pf.pair_reverse_operands)
+            run = (pf.fused_pair_reverse_wino if wino
+                   else pf.fused_pair_reverse)
+            interp = jax.default_backend() == "cpu"
+            pp = _pair_params(p)
+            for i in reversed(range(cfg.n_flow // 2)):
+                pair = jax.tree.map(lambda l: l[i], pp)
+                u, v = run(u, v, c_a, c_b, make_ops(pair, dtype=x.dtype),
+                           interpret=interp)
+        else:
+            (u, v), _ = jax.lax.scan(
+                _pair_step_rev(cfg, c_a, c_b, g_a, g_b), (u, v),
+                _pair_params(p), reverse=True)
         x = jnp.concatenate([u, v], axis=2)
     else:
         carry = (x, c, g) if has_g else (x, c)

@@ -73,15 +73,16 @@ def wn_kernel(p: dict) -> jax.Array:
 
 # How k>1 dilated convs are computed: 'conv' = XLA conv_general_dilated;
 # 'matmul' = im2col-style shifted-taps einsum, a single [B*T, K*Cin] x
-# [K*Cin, Cout] MXU matmul.  Measured on TPU v5e (synthesis, batch 64 x 4s):
-# 'conv' 977 ms vs 'matmul' 1272 ms — XLA's conv lowering wins (the im2col
-# materializes 3x activation traffic), so 'conv' is the default.
+# [K*Cin, Cout] MXU matmul; 'shifts' = K accumulated [B*T, Cin] x [Cin, Cout]
+# matmuls on shifted views (no im2col materialization).  Measured on TPU v5e
+# (synthesis, batch 64 x 4s): 'conv' 977 ms vs 'matmul' 1272 ms — the im2col
+# materializes 3x activation traffic, so 'conv' is the default.
 _CONV_IMPL = "conv"
 
 
 def set_conv_impl(impl: str) -> None:
     global _CONV_IMPL
-    assert impl in ("conv", "matmul"), impl
+    assert impl in ("conv", "matmul", "shifts"), impl
     _CONV_IMPL = impl
 
 
@@ -154,6 +155,17 @@ def dilated_conv1d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array],
         w = kernel.astype(dtype).reshape(-1, kernel.shape[-1])
         out = jnp.einsum("btc,cd->btd", taps, w,
                          preferred_element_type=jnp.float32).astype(dtype)
+    elif k > 1 and _CONV_IMPL == "shifts":
+        xp = jnp.pad(x, ((0, 0), pads, (0, 0)))
+        T = x.shape[1]
+        w = kernel.astype(dtype)
+        acc = None
+        for j in range(k):
+            xj = jax.lax.dynamic_slice_in_dim(xp, j * dilation, T, axis=1)
+            oj = jnp.einsum("btc,cd->btd", xj, w[j],
+                            preferred_element_type=jnp.float32)
+            acc = oj if acc is None else acc + oj
+        out = acc.astype(dtype)
     else:
         out = _conv_vjp(x, kernel.astype(dtype), pads, dilation)
     if bias is not None:

@@ -1,0 +1,646 @@
+"""Pallas TPU kernel: fully-fused pair-flow REVERSE step.
+
+One kernel computes an entire reverse flow PAIR (two flows of a block, the
+unit of the pair-scan in models/flowavenet.py) over a time tile:
+
+    u <- u * exp(log_s(v; odd)) + t(v; odd)      AffineCoupling.reverse
+    v <- v * sA - bA ; u <- u * sB - bB          ActNorm.reverse (odd)
+    v <- v * exp(log_s(u; even)) + t(u; even)    AffineCoupling.reverse
+    u <- u * sC - bC ; v <- v * sD - bD          ActNorm.reverse (even)
+
+where each log_s/t comes from the full WaveNet coupling net (reference
+modules.py:134-189: front k=3 conv -> relu -> 2 gated ResBlocks with
+dilations 1,3 and fused conditioning -> skip-sum -> relu -> 1x1 -> relu ->
+zero conv * exp(3 scale)).
+
+Why: the XLA path runs ~60 separate HLO ops per pair step; at synthesis
+shapes the model is compute-dense (~0.37 TFLOP per audio-second) and the
+fusion boundaries + HBM round trips between those ops cap MXU utilization
+at ~50%.  Here every intermediate lives in VMEM: per tile the kernel reads
+u, v, c_a, c_b (+halo) once, runs all ~20 matmuls back to back on the MXU,
+and writes u', v' once.
+
+Scope (falls back to XLA otherwise): affine couplings, non-causal, n_layer
+== 2, kernel_size == 3 (dilations 1, 3), no global conditioning.  The
+receptive field of the chained pair is +-10, covered by a 16-row halo on
+each side of the tile.
+
+Weight-norm kernels, the ZeroConv exp(3*scale), and the ActNorm
+exp(-3*logs) are all folded OUTSIDE the kernel (inference-only transform).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Halo rows on EACH side of a tile (receptive field of the fused pair is 10;
+# 16 keeps DMA windows sublane-aligned).  Window = t_tile + 2*HALO.
+HALO = 16
+
+SQRT_HALF = 0.7071067811865476
+
+# Precision of the tanh/sigmoid gate evaluation inside the kernel.  fp32
+# matches the XLA path bit-for-bit; bfloat16 halves the VPU work (the gates
+# are the kernel's main non-MXU cost) at ~1e-2 relative gate error — below
+# the bf16 rounding already present on every matmul edge.  Benchmarked via
+# tmp experiments; default fp32 until quality-checked end to end.
+GATE_DTYPE = jnp.float32
+
+
+def _conv3(buf, w, *, off: int, length: int, dilation: int):
+    """3-tap dilated conv over a VMEM-resident value.
+
+    buf[j] holds position (j - off) relative to the output's first row;
+    returns fp32 [length, Cout] = sum_k buf[row + (k-1)*d] @ w[k].
+    """
+    cin = buf.shape[-1]
+    acc = None
+    for k in range(3):
+        start = off - dilation + k * dilation
+        tap = jax.lax.slice_in_dim(buf, start, start + length, axis=0)
+        if cin >= 8:
+            o = jnp.dot(tap, w[k], preferred_element_type=jnp.float32)
+        else:
+            # tiny-Cin taps (early blocks: u/v have 1-4 channels) are
+            # broadcast multiplies on the VPU, not degenerate MXU passes
+            o = None
+            for c in range(cin):
+                t_ = (tap[:, c:c + 1].astype(jnp.float32)
+                      * w[k][c].astype(jnp.float32)[None, :])
+                o = t_ if o is None else o + t_
+        acc = o if acc is None else acc + o
+    return acc
+
+
+def _mask_valid(x, row0, T: int):
+    """Zero rows whose global position falls outside [0, T).
+
+    The reference zero-pads EVERY conv's input at the sequence edges
+    (modules.py:24-33); intermediates like relu(conv(0) + bias) are nonzero
+    there, so anything another conv consumes must be re-zeroed outside the
+    sequence.  row0 = global position of x's row 0 (traced scalar)."""
+    pos = row0 + jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)
+    return jnp.where((pos >= 0) & (pos < T), x, jnp.zeros_like(x))
+
+
+def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
+                  row0, T: int,
+                  front_w, front_b, kfg, cond_w, cond_b, res_w, res_b,
+                  skip_w, skip_b, fin_w, fin_b, zw, zb, dtype):
+    """WaveNet coupling net over VMEM values.
+
+    x_buf[j] = net input at position (j - x_off); c_buf likewise with c_off.
+    Produces the zero-conv output (log_s || t) for rows [0, out_len) of the
+    tile-relative frame where row 0 == x position x_off.  ``row0`` is the
+    global sequence position of output row 0 (for edge masking); T the true
+    sequence length.
+
+    Region bookkeeping (all static): the net output over [a, a+L) needs
+    h1 over +-3, h0 over +-4, x over +-5 relative to that region.
+    """
+    f32 = jnp.float32
+    # h0 = relu(front(x)) over [-4, out_len+4)
+    l_h0 = out_len + 8
+    h0 = _conv3(x_buf, front_w, off=x_off - 4, length=l_h0, dilation=1)
+    h0 = jnp.maximum(h0 + front_b.astype(f32), 0.0).astype(dtype)
+    h0 = _mask_valid(h0, row0 - 4, T)
+
+    # layer 0 (d=1): fg over [-3, out_len+3)
+    l_g0 = out_len + 6
+    fg0 = _conv3(h0, kfg[0], off=1, length=l_g0, dilation=1)
+    c0 = jax.lax.slice_in_dim(c_buf, c_off - 3, c_off - 3 + l_g0, axis=0)
+    fg0 += jnp.dot(c0, cond_w[0], preferred_element_type=f32)
+    fg0 += cond_b[0].astype(f32)
+    r = fg0.shape[-1] // 2
+    g0 = fg0.astype(GATE_DTYPE)
+    gated0 = (jnp.tanh(g0[:, :r])
+              * jax.nn.sigmoid(g0[:, r:])).astype(dtype)
+    res0 = jnp.dot(gated0, res_w, preferred_element_type=f32)
+    res0 += res_b.astype(f32)
+    h0_mid = jax.lax.slice_in_dim(h0, 1, 1 + l_g0, axis=0)
+    h1 = ((h0_mid.astype(f32) + res0) * SQRT_HALF).astype(dtype)
+    h1 = _mask_valid(h1, row0 - 3, T)
+
+    # layer 1 (d=3): fg over [0, out_len)
+    fg1 = _conv3(h1, kfg[1], off=3, length=out_len, dilation=3)
+    c1 = jax.lax.slice_in_dim(c_buf, c_off, c_off + out_len, axis=0)
+    fg1 += jnp.dot(c1, cond_w[1], preferred_element_type=f32)
+    fg1 += cond_b[1].astype(f32)
+    g1 = fg1.astype(GATE_DTYPE)
+    gated1 = (jnp.tanh(g1[:, :r])
+              * jax.nn.sigmoid(g1[:, r:])).astype(dtype)
+
+    sk0 = jnp.dot(jax.lax.slice_in_dim(gated0, 3, 3 + out_len, axis=0),
+                  skip_w[0], preferred_element_type=f32)
+    sk0 += skip_b[0].astype(f32)
+    sk1 = jnp.dot(gated1, skip_w[1], preferred_element_type=f32)
+    sk1 += skip_b[1].astype(f32)
+
+    out = jnp.maximum(sk0 + sk1, 0.0).astype(dtype)
+    out = jnp.dot(out, fin_w, preferred_element_type=f32)
+    out = jnp.maximum(out + fin_b.astype(f32), 0.0).astype(dtype)
+    # zero conv with exp(3*scale) folded into zw/zb
+    net = jnp.dot(out, zw, preferred_element_type=f32)
+    return net + zb.astype(f32)
+
+
+def _pair_kernel(u_ref, v_ref, ca_ref, cb_ref, front_w, front_b, kfg,
+                 cond_w, cond_b, res_w, res_b, skip_w, skip_b, fin_w, fin_b,
+                 zw, zb, an_s, an_b, u_out, v_out,
+                 *, t_tile: int, n_t: int, T: int):
+    g = pl.program_id(0)
+    f32 = jnp.float32
+
+    dtype = u_out.dtype
+    u = u_ref[0, 0]                   # [win, R_in]; row j = position j-HALO
+    v = v_ref[0, 0]
+    ca, cb = ca_ref[0, 0], cb_ref[0, 0]
+    r_in = u.shape[-1]
+
+    def flow_w(i):
+        return dict(front_w=front_w[i], front_b=front_b[i], kfg=kfg[i],
+                    cond_w=cond_w[i], cond_b=cond_b[i], res_w=res_w[i],
+                    res_b=res_b[i], skip_w=skip_w[i], skip_b=skip_b[i],
+                    fin_w=fin_w[i], fin_b=fin_b[i], zw=zw[i], zb=zb[i])
+
+    # ---- flow pair, reverse order (odd first) --------------------------
+    tile_start = (g % n_t) * t_tile
+    # couple(odd): u' = u*exp(log_s(v)) + t(v), needed over [-5, Tt+5)
+    l_mid = t_tile + 10
+    net = _coupling_net(v, cb, x_off=HALO - 5, c_off=HALO - 5,
+                        out_len=l_mid, row0=tile_start - 5, T=T,
+                        dtype=dtype, **flow_w(1))
+    log_s, t = net[:, :r_in], net[:, r_in:]
+    u_mid = jax.lax.slice_in_dim(u, HALO - 5, HALO - 5 + l_mid, axis=0)
+    u_mid = u_mid.astype(f32) * jnp.exp(log_s) + t
+    # actnorm reverse (odd): v half0, u half1
+    v_an = (jax.lax.slice_in_dim(v, HALO, HALO + t_tile, axis=0).astype(f32)
+            * an_s[1, 0].astype(f32) - an_b[1, 0].astype(f32))
+    u_mid = (u_mid * an_s[1, 1].astype(f32)
+             - an_b[1, 1].astype(f32)).astype(dtype)
+    # zero u' outside the sequence before couple2's convs consume it
+    u_mid = _mask_valid(u_mid, tile_start - 5, T)
+
+    # couple(even): v' = v*exp(log_s(u')) + t(u'), needed over [0, Tt)
+    net2 = _coupling_net(u_mid, ca, x_off=5, c_off=HALO,
+                         out_len=t_tile, row0=tile_start, T=T,
+                         dtype=dtype, **flow_w(0))
+    log_s2, t2 = net2[:, :r_in], net2[:, r_in:]
+    v_new = v_an * jnp.exp(log_s2) + t2
+    # actnorm reverse (even): u half0, v half1
+    u_fin = (jax.lax.slice_in_dim(u_mid, 5, 5 + t_tile, axis=0).astype(f32)
+             * an_s[0, 0].astype(f32) - an_b[0, 0].astype(f32))
+    v_fin = v_new * an_s[0, 1].astype(f32) - an_b[0, 1].astype(f32)
+
+    u_out[0] = u_fin.astype(dtype)
+    v_out[0] = v_fin.astype(dtype)
+
+
+def _wn(p, stacked_axis=None):
+    """Effective weight-normalized kernel in fp32 (conv.py:67-71)."""
+    v = p["v"].astype(jnp.float32)
+    axes = (0, 1) if v.ndim == 3 else (1, 2)
+    sq = jnp.sum(v * v, axis=axes, keepdims=True)
+    g = p["g"].astype(jnp.float32)
+    g = g[:, None, None, :] if v.ndim == 4 else g
+    return v * jax.lax.rsqrt(jnp.maximum(sq, 1e-12)) * g
+
+
+def _flow_operands(fp: dict, dtype):
+    """Fold one flow's coupling params into kernel operands (all effective
+    weights; biases fp32)."""
+    cp = fp["coupling"]
+    front_w = _wn(cp["front"]).astype(dtype)              # [3, R_in, R]
+    front_b = cp["front"]["b"].astype(jnp.float32)
+    kfg, cond_w, cond_b, skip_w, skip_b = [], [], [], [], []
+    for layer in cp["layers"]:
+        kfg.append(jnp.concatenate(
+            [_wn(layer["filter"]), _wn(layer["gate"])], -1).astype(dtype))
+        cond_w.append(jnp.concatenate(
+            [_wn(layer["filter_c"]), _wn(layer["gate_c"])], -1)[0]
+            .astype(dtype))
+        cond_b.append(jnp.concatenate(
+            [layer["filter"]["b"] + layer["filter_c"]["b"],
+             layer["gate"]["b"] + layer["gate_c"]["b"]], -1)
+            .astype(jnp.float32))
+        skip_w.append(_wn(layer["skip"])[0].astype(dtype))
+        skip_b.append(layer["skip"]["b"].astype(jnp.float32))
+    res_w = _wn(cp["layers"][0]["res"])[0].astype(dtype)
+    res_b = cp["layers"][0]["res"]["b"].astype(jnp.float32)
+    fin_w = _wn(cp["final"])[0].astype(dtype)
+    fin_b = cp["final"]["b"].astype(jnp.float32)
+    ez = jnp.exp(cp["zero"]["scale"].astype(jnp.float32) * 3.0)
+    zw = (cp["zero"]["w"][0].astype(jnp.float32) * ez).astype(dtype)
+    zb = cp["zero"]["b"].astype(jnp.float32) * ez
+    return (front_w, front_b, jnp.stack(kfg), jnp.stack(cond_w),
+            jnp.stack(cond_b), res_w, res_b, jnp.stack(skip_w),
+            jnp.stack(skip_b), fin_w, fin_b, zw, zb)
+
+
+def pair_reverse_operands(pair: dict, dtype=jnp.bfloat16):
+    """Kernel operands for one flow pair (leaves lead with axis [2]:
+    even=0, odd=1, as stacked by _pair_params)."""
+    even = jax.tree.map(lambda l: l[0], pair)
+    odd = jax.tree.map(lambda l: l[1], pair)
+    per_flow = [_flow_operands(even, dtype), _flow_operands(odd, dtype)]
+    stacked = [jnp.stack([a, b]) for a, b in zip(*per_flow)]
+
+    def an_halves(fp):
+        logs3 = fp["actnorm"]["logs"].astype(jnp.float32)[0, 0] * 3.0
+        b = fp["actnorm"]["b"].astype(jnp.float32)[0, 0]
+        c2 = logs3.shape[0] // 2
+        s = jnp.exp(-logs3)
+        return (jnp.stack([s[:c2], s[c2:]]), jnp.stack([b[:c2], b[c2:]]))
+
+    an_e, an_o = an_halves(even), an_halves(odd)
+    an_s = jnp.stack([an_e[0], an_o[0]])    # [flow, half, R_in]
+    an_b = jnp.stack([an_e[1], an_o[1]])
+    return tuple(stacked) + (an_s, an_b)
+
+
+def _windows(x, t_tile: int, n_t: int, T_pad: int):
+    """Overlapping per-tile windows [B, n_t, t_tile + 2*HALO, C].
+
+    Materializing the ~(1 + 2*HALO/t_tile)x duplicated windows in HBM lets
+    the kernel use the standard Pallas pipeline (automatic double-buffered
+    block DMA) instead of manual async copies — manual HBM slices require
+    128-lane-aligned shapes and cannot stream the 1-16 channel u/v tensors
+    of the early blocks.
+    """
+    T = x.shape[1]
+    xp = jnp.pad(x, ((0, 0), (HALO, T_pad - T + HALO), (0, 0)))
+    win = t_tile + 2 * HALO
+    return jnp.stack(
+        [jax.lax.slice_in_dim(xp, ti * t_tile, ti * t_tile + win, axis=1)
+         for ti in range(n_t)], axis=1)
+
+
+def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
+                       interpret: bool = False):
+    """Apply one reverse flow pair. u, v: [B, T, R_in]; c_*: [B, T, Cc].
+    ``operands`` from pair_reverse_operands.  Returns (u', v')."""
+    B, T, R_in = u.shape
+    dtype = u.dtype
+    t_tile = min(t_tile, -(-T // 16) * 16)
+    n_t = -(-T // t_tile)
+    T_pad = n_t * t_tile
+
+    uw, vw, caw, cbw = (_windows(x, t_tile, n_t, T_pad)
+                        for x in (u, v, c_a, c_b))
+    Cc = c_a.shape[-1]
+    win = t_tile + 2 * HALO
+
+    kernel = functools.partial(_pair_kernel, t_tile=t_tile, n_t=n_t, T=T)
+    grid = (B * n_t,)
+
+    def in_map(g):
+        return (g // n_t, g % n_t, 0, 0)
+
+    def out_map(g):
+        return (g // n_t, g % n_t, 0)
+
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    flops_net = 2 * T * (2 * 3 * 256 * 512 + 2 * Cc * 512 + 2 * 256 * 256
+                         + 256 * 256 + 3 * R_in * 256 + 256 * 2 * R_in)
+    u2, v2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, win, R_in), in_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, win, R_in), in_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, win, Cc), in_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, win, Cc), in_map, memory_space=pltpu.VMEM),
+        ] + [wspec] * len(operands),
+        out_specs=[
+            pl.BlockSpec((1, t_tile, R_in), out_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_tile, R_in), out_map,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, T_pad, R_in), dtype)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * flops_net,
+            bytes_accessed=(uw.size + vw.size + caw.size + cbw.size
+                            + 2 * B * T_pad * R_in) * dtype.itemsize,
+            transcendentals=2 * B * T * 512 * 2,
+        ),
+        interpret=interpret,
+    )(uw, vw, caw, cbw, *operands)
+    if T_pad != T:
+        u2, v2 = u2[:, :T], v2[:, :T]
+    return u2, v2
+
+
+# ===========================================================================
+# Winograd F(2,3) variant: 6-phase de-interleaved planes.
+#
+# The two fused filter|gate convs (k=3, dilations 1 and 3) carry ~74% of the
+# model's FLOPs.  F(2,3) computes 2 outputs with 4 multiplies instead of 6 —
+# a 1.5x FLOP cut on those convs (~25% model-wide).  The classic obstacle on
+# TPU is the even/odd (and per-dilation-phase) data access; storing every
+# intermediate as SIX phase planes P_r[j] = x[6j + r] makes all Winograd
+# taps FULL-SUBLANE shifted slices for BOTH dilations:
+#   d=1 output pairs (r, r+1), r in {0,2,4}: taps at offsets -1,0,1,2
+#   d=3 output pairs (r, r+3), r in {0,1,2}: taps at offsets -3,0,3,6
+# and an offset o from plane r lands wholly in plane (r+o) % 6 with a +-1
+# plane-row shift.  De-interleave/re-interleave happen OUTSIDE the kernel
+# (one cheap XLA transpose per input/output).
+#
+# Region bookkeeping is in plane rows (6 samples each).  Each conv stage
+# consumes at most +-1 plane row, and the fused pair chains 6 conv stages,
+# so a 6-plane-row halo (WINO_HALO=36 samples) suffices:
+#   couple1: h0 @ [1,Lp-1) -> gated0/h1 @ [2,Lp-2) -> net/u_mid @ [3,Lp-3)
+#   couple2: h0' @ [4,Lp-4) -> gated0'/h1' @ [5,Lp-5) -> out @ [6,Lp-6)
+# With t_tile=960 (divisible by 48 so tile starts preserve phase), the
+# window is 1032 samples = 172 plane rows and the output region is exactly
+# 160 plane rows = t_tile.
+# ===========================================================================
+
+WINO_T_TILE = 960
+WINO_HALO = 36
+
+
+def _wino_weights(w):
+    """G-transform 3-tap kernels: [..., 3, Cin, Cout] -> [..., 4, Cin, Cout]
+    with U = (W0, (W0+W1+W2)/2, (W0-W1+W2)/2, W2)."""
+    w0 = w[..., 0, :, :]
+    w1 = w[..., 1, :, :]
+    w2 = w[..., 2, :, :]
+    return jnp.stack([w0, (w0 + w1 + w2) * 0.5, (w0 - w1 + w2) * 0.5, w2],
+                     axis=-3)
+
+
+def _tap(planes, a_vals: int, r: int, off: int, a_out: int, L: int):
+    """Rows at global window offset (6j + r + off) for output plane rows
+    j in [a_out, a_out+L), from planes stored with region start a_vals."""
+    q = (r + off) % 6
+    s = (r + off - q) // 6
+    rel = a_out + s - a_vals
+    return jax.lax.slice_in_dim(planes[q], rel, rel + L, axis=0)
+
+
+def _conv3_wino_pairs(planes, a_vals: int, U, *, step: int, a_out: int,
+                      L: int):
+    """Winograd F(2,3) for all 6 output planes of a 3-tap conv with
+    dilation ``step`` (1 or 3).  U: [4, Cin, Cout].  Returns a list of 6
+    fp32 [L, Cout] planes at region start a_out.
+
+    (Measured: per-plane [L,Cin] matmuls beat concatenating the pairs into
+    [3L,Cin] big-M matmuls — the in-VMEM concats/reshapes cost more than
+    the MXU efficiency they buy: block0 572 vs 423 ms.)
+    """
+    outs = [None] * 6
+    pairs = [(0, 1), (2, 3), (4, 5)] if step == 1 else [(0, 3), (1, 4),
+                                                        (2, 5)]
+    for r0, r1 in pairs:
+        d0 = _tap(planes, a_vals, r0, -step, a_out, L)
+        d1 = _tap(planes, a_vals, r0, 0, a_out, L)
+        d2 = _tap(planes, a_vals, r0, step, a_out, L)
+        d3 = _tap(planes, a_vals, r0, 2 * step, a_out, L)
+        m0 = jnp.dot(d0 - d2, U[0], preferred_element_type=jnp.float32)
+        m1 = jnp.dot(d1 + d2, U[1], preferred_element_type=jnp.float32)
+        m2 = jnp.dot(d2 - d1, U[2], preferred_element_type=jnp.float32)
+        m3 = jnp.dot(d1 - d3, U[3], preferred_element_type=jnp.float32)
+        outs[r0] = m0 + m1 + m2
+        outs[r1] = m1 - m2 - m3
+    return outs
+
+
+def _conv3_front_planes(planes, a_vals: int, w, *, a_out: int, L: int):
+    """Direct 3-tap d=1 conv for the tiny-Cin front layer, per plane."""
+    cin = planes[0].shape[-1]
+    outs = []
+    for r in range(6):
+        acc = None
+        for k in range(3):
+            tap = _tap(planes, a_vals, r, k - 1, a_out, L)
+            if cin >= 8:
+                o = jnp.dot(tap, w[k], preferred_element_type=jnp.float32)
+            else:
+                o = None
+                for c in range(cin):
+                    t_ = (tap[:, c:c + 1].astype(jnp.float32)
+                          * w[k][c].astype(jnp.float32)[None, :])
+                    o = t_ if o is None else o + t_
+            acc = o if acc is None else acc + o
+        outs.append(acc)
+    return outs
+
+
+def _mask_planes(planes, a: int, row0_win, T: int):
+    """Zero plane rows whose global position is outside [0, T).
+    row0_win = global position of window row 0 (traced scalar)."""
+    out = []
+    for r, x in enumerate(planes):
+        pos = (row0_win + 6 * a + r
+               + 6 * jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0))
+        out.append(jnp.where((pos >= 0) & (pos < T), x, jnp.zeros_like(x)))
+    return out
+
+
+def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win, T: int,
+                       front_w, front_b, kfg, cond_w, cond_b, res_w, res_b,
+                       skip_w, skip_b, fin_w, fin_b, zw, zb, dtype):
+    """Plane-space coupling net.  x_pl: 6 planes at region start x_a;
+    c_pl: 6 conditioning planes at region start 0 (full window).
+    Returns 6 fp32 net-output planes (log_s || t) at region a_h0 + 2."""
+    f32 = jnp.float32
+    Lp = c_pl[0].shape[0]
+    a0, a1, a2 = a_h0, a_h0 + 1, a_h0 + 2
+    L0, L1, L2 = Lp - 2 * a0, Lp - 2 * a1, Lp - 2 * a2
+
+    h0 = _conv3_front_planes(x_pl, x_a, front_w, a_out=a0, L=L0)
+    h0 = [jnp.maximum(h + front_b.astype(f32), 0.0).astype(dtype)
+          for h in h0]
+    h0 = _mask_planes(h0, a0, row0_win, T)
+
+    # layer 0 (d=1)
+    fg0 = _conv3_wino_pairs(h0, a0, kfg[0], step=1, a_out=a1, L=L1)
+    r = fg0[0].shape[-1] // 2
+    gated0, h1 = [], []
+    for q in range(6):
+        c_sl = jax.lax.slice_in_dim(c_pl[q], a1, a1 + L1, axis=0)
+        fg = fg0[q] + jnp.dot(c_sl, cond_w[0],
+                              preferred_element_type=f32)
+        fg = (fg + cond_b[0].astype(f32)).astype(GATE_DTYPE)
+        g = (jnp.tanh(fg[:, :r]) * jax.nn.sigmoid(fg[:, r:])).astype(dtype)
+        gated0.append(g)
+        res0 = jnp.dot(g, res_w, preferred_element_type=f32)
+        h0_mid = jax.lax.slice_in_dim(h0[q], 1, 1 + L1, axis=0)
+        h1.append(((h0_mid.astype(f32) + res0 + res_b.astype(f32))
+                   * SQRT_HALF).astype(dtype))
+    h1 = _mask_planes(h1, a1, row0_win, T)
+
+    # layer 1 (d=3)
+    fg1 = _conv3_wino_pairs(h1, a1, kfg[1], step=3, a_out=a2, L=L2)
+    net = []
+    for q in range(6):
+        c_sl = jax.lax.slice_in_dim(c_pl[q], a2, a2 + L2, axis=0)
+        fg = fg1[q] + jnp.dot(c_sl, cond_w[1],
+                              preferred_element_type=f32)
+        fg = (fg + cond_b[1].astype(f32)).astype(GATE_DTYPE)
+        g1 = (jnp.tanh(fg[:, :r]) * jax.nn.sigmoid(fg[:, r:])).astype(dtype)
+        sk0 = jnp.dot(jax.lax.slice_in_dim(gated0[q], 1, 1 + L2, axis=0),
+                      skip_w[0], preferred_element_type=f32)
+        sk = (sk0 + skip_b[0].astype(f32)
+              + jnp.dot(g1, skip_w[1], preferred_element_type=f32)
+              + skip_b[1].astype(f32))
+        out = jnp.maximum(sk, 0.0).astype(dtype)
+        out = jnp.dot(out, fin_w, preferred_element_type=f32)
+        out = jnp.maximum(out + fin_b.astype(f32), 0.0).astype(dtype)
+        net.append(jnp.dot(out, zw, preferred_element_type=f32)
+                   + zb.astype(f32))
+    return net
+
+
+def _pair_kernel_wino(u_ref, v_ref, ca_ref, cb_ref, front_w, front_b, kfg,
+                      cond_w, cond_b, res_w, res_b, skip_w, skip_b, fin_w,
+                      fin_b, zw, zb, an_s, an_b, u_out, v_out,
+                      *, t_tile: int, n_t: int, T: int):
+    g = pl.program_id(0)
+    f32 = jnp.float32
+    dtype = u_out.dtype
+    row0_win = (g % n_t) * t_tile - WINO_HALO
+
+    u_pl = [u_ref[0, 0, q] for q in range(6)]
+    v_pl = [v_ref[0, 0, q] for q in range(6)]
+    ca_pl = [ca_ref[0, 0, q] for q in range(6)]
+    cb_pl = [cb_ref[0, 0, q] for q in range(6)]
+    r_in = u_pl[0].shape[-1]
+    Lp = u_pl[0].shape[0]
+
+    def flow_w(i):
+        return dict(front_w=front_w[i], front_b=front_b[i], kfg=kfg[i],
+                    cond_w=cond_w[i], cond_b=cond_b[i], res_w=res_w[i],
+                    res_b=res_b[i], skip_w=skip_w[i], skip_b=skip_b[i],
+                    fin_w=fin_w[i], fin_b=fin_b[i], zw=zw[i], zb=zb[i])
+
+    # couple(odd): u' = u*exp(log_s(v)) + t(v) at region a=3
+    net = _coupling_net_wino(v_pl, 0, cb_pl, a_h0=1, row0_win=row0_win,
+                             T=T, dtype=dtype, **flow_w(1))
+    a_mid, L_mid = 3, Lp - 6
+    u_mid = []
+    for q in range(6):
+        n_q = net[q]
+        u_sl = jax.lax.slice_in_dim(u_pl[q], a_mid, a_mid + L_mid, axis=0)
+        um = (u_sl.astype(f32) * jnp.exp(n_q[:, :r_in]) + n_q[:, r_in:])
+        # actnorm reverse (odd), u half1
+        um = um * an_s[1, 1].astype(f32) - an_b[1, 1].astype(f32)
+        u_mid.append(um.astype(dtype))
+    u_mid = _mask_planes(u_mid, a_mid, row0_win, T)
+
+    # couple(even): v' = v*exp(log_s(u')) + t(u') at region a=6
+    net2 = _coupling_net_wino(u_mid, a_mid, ca_pl, a_h0=4,
+                              row0_win=row0_win, T=T, dtype=dtype,
+                              **flow_w(0))
+    a_out, L_out = 6, Lp - 12
+    for q in range(6):
+        v_sl = jax.lax.slice_in_dim(v_pl[q], a_out, a_out + L_out, axis=0)
+        v_an = (v_sl.astype(f32) * an_s[1, 0].astype(f32)
+                - an_b[1, 0].astype(f32))
+        n_q = net2[q]
+        v_new = v_an * jnp.exp(n_q[:, :r_in]) + n_q[:, r_in:]
+        v_fin = v_new * an_s[0, 1].astype(f32) - an_b[0, 1].astype(f32)
+        u_sl = jax.lax.slice_in_dim(u_mid[q], 3, 3 + L_out, axis=0)
+        u_fin = (u_sl.astype(f32) * an_s[0, 0].astype(f32)
+                 - an_b[0, 0].astype(f32))
+        u_out[0, 0, q] = u_fin.astype(dtype)
+        v_out[0, 0, q] = v_fin.astype(dtype)
+
+
+# operand order from pair_reverse_operands / _flow_operands:
+#   0 front_w  1 front_b  2 kfg  3 cond_w  4 cond_b  5 res_w  6 res_b
+#   7 skip_w   8 skip_b   9 fin_w 10 fin_b 11 zw    12 zb   13 an_s 14 an_b
+_WEIGHT_OPERANDS = (0, 2, 3, 5, 7, 9, 11)
+
+
+def pair_reverse_operands_wino(pair: dict, dtype=jnp.bfloat16):
+    """Like pair_reverse_operands but with the fg conv kernels G-transformed
+    for F(2,3): kfg becomes [2, n_layer, 4, Cin, Cout].  The transform runs
+    in fp32 (the 0.5 factors are exact); weights are cast to ``dtype`` after,
+    biases stay fp32."""
+    ops = list(pair_reverse_operands(pair, dtype=jnp.float32))
+    ops[2] = _wino_weights(ops[2])
+    return tuple(o.astype(dtype) if i in _WEIGHT_OPERANDS else o
+                 for i, o in enumerate(ops))
+
+
+def _windows_wino(x, t_tile: int, n_t: int, T_pad: int):
+    """Overlapping windows de-interleaved into 6 phase planes:
+    [B, n_t, 6, win/6, C]."""
+    B, T, C = x.shape
+    xp = jnp.pad(x, ((0, 0), (WINO_HALO, T_pad - T + WINO_HALO), (0, 0)))
+    win = t_tile + 2 * WINO_HALO
+    w = jnp.stack(
+        [jax.lax.slice_in_dim(xp, ti * t_tile, ti * t_tile + win, axis=1)
+         for ti in range(n_t)], axis=1)            # [B, n_t, win, C]
+    w = w.reshape(B, n_t, win // 6, 6, C)
+    return jnp.transpose(w, (0, 1, 3, 2, 4))       # [B, n_t, 6, win/6, C]
+
+
+def fused_pair_reverse_wino(u, v, c_a, c_b, operands, *, interpret=False):
+    """Winograd pair-flow reverse.  Same contract as fused_pair_reverse."""
+    B, T, R_in = u.shape
+    dtype = u.dtype
+    # tile must be a multiple of 48 (6-phase alignment x 16-row sublanes)
+    t_tile = min(WINO_T_TILE, max(48, -(-T // 48) * 48))
+    n_t = -(-T // t_tile)
+    T_pad = n_t * t_tile
+
+    uw, vw, caw, cbw = (_windows_wino(x, t_tile, n_t, T_pad)
+                        for x in (u, v, c_a, c_b))
+    Cc = c_a.shape[-1]
+    win = t_tile + 2 * WINO_HALO
+    Lp = win // 6
+
+    kernel = functools.partial(_pair_kernel_wino, t_tile=t_tile, n_t=n_t,
+                               T=T)
+    grid = (B * n_t,)
+
+    def in_map(g):
+        return (g // n_t, g % n_t, 0, 0, 0)
+
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    flops_net = 2 * T * ((4 / 6) * 2 * 3 * 256 * 512 + 2 * Cc * 512
+                         + 2 * 256 * 256 + 256 * 256 + 3 * R_in * 256
+                         + 256 * 2 * R_in)
+    u2, v2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, 6, Lp, R_in), in_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 6, Lp, R_in), in_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 6, Lp, Cc), in_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 6, Lp, Cc), in_map,
+                         memory_space=pltpu.VMEM),
+        ] + [wspec] * len(operands),
+        out_specs=[
+            pl.BlockSpec((1, 1, 6, t_tile // 6, R_in), in_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 6, t_tile // 6, R_in), in_map,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, n_t, 6, t_tile // 6, R_in),
+                                        dtype)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * B * flops_net),
+            bytes_accessed=(uw.size + vw.size + caw.size + cbw.size
+                            + 2 * B * T_pad * R_in) * dtype.itemsize,
+            transcendentals=2 * B * T * 512 * 2,
+        ),
+        interpret=interpret,
+    )(uw, vw, caw, cbw, *operands)
+
+    def reinterleave(x):
+        x = jnp.transpose(x, (0, 1, 3, 2, 4))       # [B, n_t, tt/6, 6, R]
+        return x.reshape(B, T_pad, R_in)[:, :T]
+
+    return reinterleave(u2), reinterleave(v2)

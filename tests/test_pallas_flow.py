@@ -1,0 +1,164 @@
+"""Fused pair-flow reverse kernel (ops/pallas_flow.py): numerics vs the XLA
+pair-scan, tiling/halo correctness, and in-model routing.
+
+All kernel runs use interpret mode (CPU); the real-TPU path shares the exact
+same kernel body.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowavenet_tpu.config import tiny
+from flowavenet_tpu.models import flowavenet as fwn
+from flowavenet_tpu.models.flowavenet import init_flowavenet, reverse
+from flowavenet_tpu.ops.pallas_flow import (fused_pair_reverse,
+                                            pair_reverse_operands)
+from flowavenet_tpu.ops.squeeze import squeeze
+
+CFG = tiny().model  # n_flow=2 -> one pair per block
+
+
+def _randomized(key, cfg, scale=0.1):
+    params = init_flowavenet(key, cfg)
+    leaves, treedef = jax.tree.flatten(params)
+    r = np.random.RandomState(7)
+    out = [l + jnp.asarray(scale * r.randn(*l.shape), l.dtype)
+           for l in leaves]
+    return jax.tree.unflatten(treedef, out)
+
+
+def _xla_pair_reverse(bp, cfg, u, v, c_a, c_b):
+    (u, v), _ = jax.lax.scan(
+        fwn._pair_step_rev(cfg, c_a, c_b, None, None), (u, v),
+        fwn._pair_params(bp), reverse=True)
+    return u, v
+
+
+@pytest.mark.parametrize("T,t_tile", [(128, 128), (192, 64), (96, 32)])
+def test_pair_kernel_matches_xla(key, rng, T, t_tile):
+    """Kernel == XLA pair-scan across tile boundaries (halo correctness) and
+    ragged final tiles."""
+    cfg = CFG
+    params = _randomized(key, cfg)
+    bp = params["blocks"][0]
+
+    u = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    v = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    c_a = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    c_b = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+
+    u_ref, v_ref = _xla_pair_reverse(bp, cfg, u, v, c_a, c_b)
+    pair = jax.tree.map(lambda l: l[0], fwn._pair_params(bp))
+    ops = pair_reverse_operands(pair, dtype=jnp.float32)
+    u_k, v_k = fused_pair_reverse(u, v, c_a, c_b, ops, t_tile=t_tile,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pair_kernel_wider_channels(key, rng):
+    """Block-1-style shapes: R_in=2, Cc=2*num_mels (and the >=8-channel
+    matmul front path via a fatter custom config)."""
+    cfg = dataclasses.replace(CFG, n_block=2)
+    params = _randomized(key, cfg)
+    bp = params["blocks"][1]                   # R_in=2, Cc=2*num_mels
+    T = 128
+    u = jnp.asarray(rng.randn(2, T, 2), jnp.float32)
+    v = jnp.asarray(rng.randn(2, T, 2), jnp.float32)
+    c_a = jnp.asarray(rng.randn(2, T, 2 * cfg.num_mels), jnp.float32)
+    c_b = jnp.asarray(rng.randn(2, T, 2 * cfg.num_mels), jnp.float32)
+    u_ref, v_ref = _xla_pair_reverse(bp, cfg, u, v, c_a, c_b)
+    pair = jax.tree.map(lambda l: l[0], fwn._pair_params(bp))
+    ops = pair_reverse_operands(pair, dtype=jnp.float32)
+    u_k, v_k = fused_pair_reverse(u, v, c_a, c_b, ops, t_tile=64,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("T", [96, 192, 200])
+def test_wino_pair_kernel_matches_xla(key, rng, T):
+    """Winograd F(2,3) 6-plane variant == XLA pair-scan, incl. ragged tails
+    and multi-tile phase alignment (T=200 is not a multiple of 48)."""
+    from flowavenet_tpu.ops.pallas_flow import (fused_pair_reverse_wino,
+                                                pair_reverse_operands_wino)
+    cfg = CFG
+    params = _randomized(key, cfg)
+    bp = params["blocks"][0]
+    u = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    v = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    c_a = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    c_b = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    u_ref, v_ref = _xla_pair_reverse(bp, cfg, u, v, c_a, c_b)
+    pair = jax.tree.map(lambda l: l[0], fwn._pair_params(bp))
+    ops = pair_reverse_operands_wino(pair, dtype=jnp.float32)
+    u_k, v_k = fused_pair_reverse_wino(u, v, c_a, c_b, ops, interpret=True)
+    np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_wino_multi_tile(key, rng, monkeypatch):
+    """Force several Winograd tiles (small WINO_T_TILE) so cross-tile halo
+    and phase bookkeeping is covered."""
+    from flowavenet_tpu.ops import pallas_flow as pf
+    monkeypatch.setattr(pf, "WINO_T_TILE", 96)
+    cfg = CFG
+    params = _randomized(key, cfg)
+    bp = params["blocks"][0]
+    T = 336  # 3.5 tiles of 96
+    u = jnp.asarray(rng.randn(1, T, 1), jnp.float32)
+    v = jnp.asarray(rng.randn(1, T, 1), jnp.float32)
+    c_a = jnp.asarray(rng.randn(1, T, cfg.num_mels), jnp.float32)
+    c_b = jnp.asarray(rng.randn(1, T, cfg.num_mels), jnp.float32)
+    u_ref, v_ref = _xla_pair_reverse(bp, cfg, u, v, c_a, c_b)
+    pair = jax.tree.map(lambda l: l[0], fwn._pair_params(bp))
+    ops = pf.pair_reverse_operands_wino(pair, dtype=jnp.float32)
+    u_k, v_k = pf.fused_pair_reverse_wino(u, v, c_a, c_b, ops,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_model_routing_matches_xla(key, rng, monkeypatch):
+    """reverse() with use_pallas=True (kernel path, interpret on CPU) must
+    match use_pallas=False bit-closely on the full tiny model."""
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_CPU_INTERPRET", True)
+    cfg_off = dataclasses.replace(CFG, use_pallas=False)
+    cfg_on = dataclasses.replace(CFG, use_pallas=True)
+    params = _randomized(key, cfg_off)
+    z = jnp.asarray(rng.randn(2, 8192, 1), jnp.float32)
+    mel = jnp.asarray(rng.rand(2, 8192 // cfg_off.hop_size,
+                               cfg_off.num_mels), jnp.float32)
+    base = np.asarray(reverse(params, cfg_off, z, mel))
+    fast = np.asarray(reverse(params, cfg_on, z, mel))
+    np.testing.assert_allclose(fast, base, rtol=2e-5, atol=2e-5)
+    assert np.all(np.isfinite(fast))
+
+
+def test_routing_gates(key, monkeypatch):
+    """Eligibility: causal / gin / odd layers / fat cond fall back to XLA,
+    and CPU never routes unless the interpret escape hatch is set."""
+    on = dataclasses.replace(CFG, use_pallas=True)
+    assert not fwn._pair_kernel_eligible(on, 160, has_g=False)  # cpu backend
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_CPU_INTERPRET", True)
+    assert fwn._pair_kernel_eligible(on, 160, has_g=False)
+    assert not fwn._pair_kernel_eligible(
+        dataclasses.replace(CFG, use_pallas=False), 160, has_g=False)
+    assert not fwn._pair_kernel_eligible(
+        dataclasses.replace(on, causal=True), 160, False)
+    assert not fwn._pair_kernel_eligible(on, 160, True)          # gin
+    assert not fwn._pair_kernel_eligible(
+        dataclasses.replace(on, n_layer=3), 160, False)
+    assert not fwn._pair_kernel_eligible(on, 10240, False)       # VMEM

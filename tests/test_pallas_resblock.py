@@ -65,42 +65,37 @@ def test_kernel_tile_fallback(key, rng):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_reverse_path_with_pallas_interpret(key, rng, monkeypatch):
-    """Full model reverse with use_pallas=True (interpret mode) must invert
-    forward exactly like the XLA path."""
+# NOTE: the per-resblock kernels are no longer routed in-model (the fused
+# pair-flow kernel in ops/pallas_flow.py supersedes them; see
+# tests/test_pallas_flow.py::test_model_routing_matches_xla for the in-model
+# equivalence of the routed path).  The tests here cover them as standalone
+# ops, including the custom VJP.
+
+
+def test_wavenet_with_pallas_matches_xla(key, rng):
+    """apply_wavenet(use_pallas=True) (interpret) == the plain XLA path."""
     import flowavenet_tpu.ops.pallas_resblock as pr
+    from flowavenet_tpu.models.modules import apply_wavenet, init_wavenet
 
-    orig, orig2 = pr.fused_gated_resblock, pr.fused_gated_resblock_v2
-
-    def interp(*args, **kw):
-        kw["interpret"] = True
-        return orig(*args, **kw)
-
-    def interp2(*args, **kw):
-        kw["interpret"] = True
-        return orig2(*args, **kw)
-
-    monkeypatch.setattr(pr, "fused_gated_resblock", interp)
-    monkeypatch.setattr(pr, "fused_gated_resblock_v2", interp2)
-    import flowavenet_tpu.models.flowavenet as fwm
-    monkeypatch.setattr(fwm, "PALLAS_MIN_T", 1)  # tiny test shapes
-
-    from flowavenet_tpu.config import ModelConfig
-    from flowavenet_tpu.models.flowavenet import init_flowavenet, reverse
-
-    cfg_x = ModelConfig(n_block=2, n_flow=2, n_layer=2, filter_size=16,
-                        num_mels=8, upsample_scales=(4, 4))
-    cfg_p = ModelConfig(n_block=2, n_flow=2, n_layer=2, filter_size=16,
-                        num_mels=8, upsample_scales=(4, 4), use_pallas=True)
-    params = init_flowavenet(key, cfg_x)
+    params = init_wavenet(key, in_channels=2, out_channels=4, num_layers=2,
+                          residual_channels=16, cin_channels=8)
     params = jax.tree.map(
         lambda l: l + jnp.asarray(0.1 * rng.randn(*l.shape), l.dtype),
         params)
-    z = jnp.asarray(rng.randn(1, 256, 1), jnp.float32)
-    c = jnp.asarray(rng.rand(1, 16, 8), jnp.float32)
-    wav_x = reverse(params, cfg_x, z, c)
-    wav_p = reverse(params, cfg_p, z, c)
-    np.testing.assert_allclose(np.asarray(wav_p), np.asarray(wav_x),
+    x = jnp.asarray(rng.randn(1, 64, 2), jnp.float32)
+    c = jnp.asarray(rng.rand(1, 64, 8), jnp.float32)
+    ref = apply_wavenet(params, x, c, causal=False)
+
+    orig, orig2 = pr.fused_gated_resblock, pr.fused_gated_resblock_v2
+    try:
+        pr.fused_gated_resblock = lambda *a, **k: orig(
+            *a, **{**k, "interpret": True})
+        pr.fused_gated_resblock_v2 = lambda *a, **k: orig2(
+            *a, **{**k, "interpret": True})
+        out = apply_wavenet(params, x, c, causal=False, use_pallas=True)
+    finally:
+        pr.fused_gated_resblock, pr.fused_gated_resblock_v2 = orig, orig2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
 
 
