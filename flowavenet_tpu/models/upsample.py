@@ -95,15 +95,60 @@ def _subpixel_upsample(x: jax.Array, kern: jax.Array, s: int) -> jax.Array:
     return y.reshape(B, H * s, W)
 
 
+def _dense_upsample(x: jax.Array, kern: jax.Array, s: int) -> jax.Array:
+    """One transposed-conv scale as ONE dense MXU matmul.
+
+    The subpixel form contracts only the 9 (frame, mel-tap) pairs — a K=9
+    matmul that runs at ~7% MXU and cost 49 ms of the 1.2 s reverse pass at
+    batch 96.  Folding the +-1 mel-bin taps into the contraction gives
+    [B*H, D*(W+2)] x [D*(W+2), s*W]: ~27x more (mostly-zero) FLOPs but a
+    dense K=240 matmul that runs in ~3 ms.  Bit-equal to the subpixel form
+    (same taps, fp32 accumulation; tests/test_upsample.py).
+    """
+    kh = kern.shape[0]
+    offsets, idx = _subpixel_plan(kh, s)
+    D = len(offsets)
+    B, H, W = x.shape
+    dtype = x.dtype
+
+    kpad = jnp.concatenate([kern, jnp.zeros((1, 3), kern.dtype)], axis=0)
+    wsub = kpad[idx]                              # [s, D, 3]
+    # frames column j holds x[.., j-1] (w-pad of 1), and tap u reads
+    # x[w + 1 - u] => j = w + 2 - u:  A[d, j, p, w] = wsub[p, d, u]
+    A = sum(
+        jnp.einsum("pd,jw->djpw", wsub[:, :, u],
+                   jnp.asarray(np.eye(W + 2, W, k=u - 2), wsub.dtype))
+        for u in range(3))
+    A2 = A.reshape(D * (W + 2), s * W).astype(dtype)
+
+    d_lo, d_hi = -min(offsets), max(offsets)
+    xp = jnp.pad(x, ((0, 0), (d_lo, d_hi), (1, 1)))    # [B, H+D-1, W+2]
+    frames = jnp.concatenate(
+        [jax.lax.dynamic_slice(xp, (0, d + d_lo, 0), (B, H, W + 2))
+         for d in offsets], axis=-1)               # [B, H, D*(W+2)]
+    y = jnp.einsum("bhk,kn->bhn", frames, A2,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    return y.reshape(B, H * s, W)
+
+
 def apply_upsample(params: list[dict], c: jax.Array, scales,
-                   impl: str = "subpixel") -> jax.Array:
+                   impl: str = "dense") -> jax.Array:
     """c: [B, T_mel, n_mels] -> [B, T_mel * prod(scales), n_mels].
 
-    impl='subpixel' (default) lowers each scale to one phase matmul — the
-    1-channel transposed conv maps terribly onto TPU conv units;
-    impl='conv_transpose' keeps the XLA op for cross-checking.
+    impl='dense' (default) lowers each scale to one dense MXU matmul;
+    'subpixel' is the narrow phase-matmul form (same numerics, slower on
+    TPU); 'conv_transpose' keeps the XLA op for cross-checking — the
+    1-channel transposed conv maps terribly onto TPU conv units.
     """
     dtype = c.dtype
+    if impl == "dense":
+        h = c
+        for p, s in zip(params, scales):
+            k2 = _wn_kernel_t(p)[:, :, 0, 0].astype(dtype)   # [2s, 3]
+            h = _dense_upsample(h, k2, s)
+            h = h + p["b"].astype(dtype)
+            h = jax.nn.leaky_relu(h, 0.4)
+        return h
     if impl == "subpixel":
         h = c
         for p, s in zip(params, scales):
