@@ -19,8 +19,16 @@ Measurement notes:
 * timing uses a scalar readback as the execution fence;
   ``block_until_ready`` is unreliable on the experimental 'axon' platform.
 
-Env knobs: BENCH_BATCH (16) | BENCH_SECONDS (4) | BENCH_ITERS (5) |
-BENCH_CONFIG (lj22k)
+Env knobs: BENCH_BATCH (96) | BENCH_SECONDS (4) | BENCH_ITERS (5) |
+BENCH_CONFIG (lj22k) | BENCH_MELS (synthetic | speech | /path/to/mels_dir)
+
+BENCH_MELS modes: "synthetic" (default) conditions on uniform-random mels
+generated on device — the headline number, free of host-transfer effects;
+"speech" runs speech-like waveforms (harmonic + formant + noise bursts)
+through the REAL mel frontend (audio/mel.py) on host and uploads them once,
+proving the measured path is the production path; a directory path loads
+preprocessed .npy mels (e.g. real LJSpeech features).  Measured delta on
+v5e is <1% (docs/benchmarks.md) — throughput is shape-dominated.
 """
 
 from __future__ import annotations
@@ -31,6 +39,43 @@ import sys
 import time
 
 import numpy as np
+
+
+def _speech_mels(cfg, batch: int, frames: int) -> "np.ndarray":
+    """Speech-like conditioning through the REAL mel frontend: harmonic
+    series with a gliding f0, formant-shaped noise, and silence gaps —
+    realistic mel statistics without shipping a corpus."""
+    from flowavenet_tpu.audio.mel import process_wav
+
+    sr = cfg.audio.sample_rate
+    hop = cfg.audio.hop_size
+    n = frames * hop + cfg.audio.n_fft
+    rng = np.random.RandomState(1234)
+    mels = []
+    for b in range(batch):
+        t = np.arange(n) / sr
+        f0 = 120.0 + 60.0 * np.sin(2 * np.pi * (0.7 + 0.1 * (b % 7)) * t)
+        phase = 2 * np.pi * np.cumsum(f0) / sr
+        voiced = sum((0.5 ** k) * np.sin((k + 1) * phase) for k in range(8))
+        envelope = np.clip(np.sin(2 * np.pi * 1.7 * t + b) + 0.7, 0, None)
+        noise = rng.randn(n) * 0.05
+        wav = (0.3 * voiced * envelope + noise).astype(np.float32)
+        _, mel = process_wav(wav, cfg.audio)
+        mels.append(mel[:frames])
+    return np.stack(mels).astype(np.float32)
+
+
+def _load_mels_dir(path: str, cfg, batch: int, frames: int) -> "np.ndarray":
+    """Preprocessed .npy mels, cycled/cropped/padded to [batch, frames]."""
+    names = sorted(f for f in os.listdir(path) if f.endswith(".npy"))
+    if not names:
+        raise FileNotFoundError(f"no .npy mels in {path}")
+    out = np.zeros((batch, frames, cfg.model.num_mels), np.float32)
+    for b in range(batch):
+        m = np.load(os.path.join(path, names[b % len(names)]))
+        f = min(frames, m.shape[0])
+        out[b, :f] = m[:f]
+    return out
 
 
 def main() -> None:
@@ -66,19 +111,36 @@ def main() -> None:
         jax.random.PRNGKey(0))
     print(f"# init {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
+    mels_mode = os.environ.get("BENCH_MELS", "synthetic")
+    c_host = None
+    if mels_mode == "speech":
+        c_host = _speech_mels(cfg, batch, frames)
+    elif mels_mode != "synthetic":
+        c_host = _load_mels_dir(mels_mode, cfg, batch, frames)
+    if c_host is not None:
+        t0 = time.time()
+        c_dev = jax.device_put(jnp.asarray(c_host))
+        c_dev.block_until_ready()
+        print(f"# uploaded {mels_mode!r} mels "
+              f"({c_host.nbytes / 1e6:.1f} MB) in {time.time() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+    else:
+        c_dev = None
+
     @jax.jit
-    def synth(params, seed):
+    def synth(params, seed, c):
         kz, kc = jax.random.split(jax.random.PRNGKey(seed))
         z = jax.random.normal(kz, (batch, T, 1), jnp.float32) * cfg.train.temp
-        c = jax.random.uniform(kc, (batch, frames, cfg.model.num_mels),
-                               jnp.float32)
+        if c is None:
+            c = jax.random.uniform(kc, (batch, frames, cfg.model.num_mels),
+                                   jnp.float32)
         wav = reverse(params, cfg.model, z, c, compute_dtype=jnp.bfloat16)
         w32 = wav.astype(jnp.float32)
         return jnp.sum(w32 * w32), jnp.sum(jnp.isfinite(w32))
 
     # warmup / compile (scalar readback = execution fence)
     t0 = time.time()
-    energy, finite = synth(params, 0)
+    energy, finite = synth(params, 0, c_dev)
     energy, finite = float(energy), int(finite)
     compile_s = time.time() - t0
     assert finite == batch * T, f"non-finite synthesis output ({finite})"
@@ -86,7 +148,7 @@ def main() -> None:
     times = []
     for i in range(iters):
         t0 = time.time()
-        e, _ = synth(params, i + 1)
+        e, _ = synth(params, i + 1, c_dev)
         float(e)
         times.append(time.time() - t0)
     best = min(times)
