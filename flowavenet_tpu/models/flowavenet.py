@@ -250,12 +250,14 @@ def _pair_step_fwd(cfg: ModelConfig, c_a, c_b, g_a, g_b):
 # The deep blocks' inefficiency is fusion-boundary/op-count overhead, which
 # the fused Pallas pair kernel (ops/pallas_flow.py) addresses instead.
 
-# Conditioning width limit for the fused pair kernel.  Measured on v5e
-# (batch 96 x 4 s): standalone the kernel wins 584->444 ms on block 0,
-# 331->297 on block 1, 204->186 on block 2; block 3 loses standalone
-# (125->136) but WINS in-model (full reverse 1212.6 ms with block 3 routed
-# vs 1230.6 without).  Cc = 80 * 2^b, so 640 admits blocks 0-3; deeper
-# blocks' weights exceed VMEM and stay on XLA.
+# Conditioning width limit for the VMEM-resident-cond fused pair kernel.
+# Measured on v5e (batch 96 x 4 s): standalone the kernel wins
+# 584->444 ms on block 0, 331->297 on block 1, 204->186 on block 2;
+# block 3 loses standalone (125->136) but WINS in-model (full reverse
+# 1212.6 ms with block 3 routed vs 1230.6 without).  Cc = 80 * 2^b, so
+# 640 admits blocks 0-3; deeper blocks' cond weights exceed VMEM and use
+# the HOISTED variant instead (cond matmuls precomputed outside as one
+# big MXU-friendly dot per c half, the rest of the pair fused).
 PAIR_KERNEL_MAX_CC = 640
 
 # CPU has no Mosaic backend: the kernel only routes on accelerators, so
@@ -268,16 +270,35 @@ PAIR_KERNEL_CPU_INTERPRET = False
 PAIR_KERNEL_WINO = True
 PAIR_KERNEL_WINO_MAX_CC = 320
 
+# Hoisted-conditioning pair kernel for the deep blocks (XLA previously:
+# fusion-boundary overhead capped them at 30-40% MXU).
+PAIR_KERNEL_HOISTED = True
+PAIR_KERNEL_HOISTED_T_TILE = 1024
+
 
 def _pair_kernel_eligible(cfg: ModelConfig, cc_half: int,
                           has_g: bool) -> bool:
-    """Route through the fused pair-flow reverse kernel (ops/pallas_flow.py)
-    when its scope covers this block: affine, non-causal, n_layer == 2,
-    no global conditioning, and the conditioning fits VMEM."""
+    """Base eligibility for the fused pair-flow reverse kernels
+    (ops/pallas_flow.py): affine, non-causal, n_layer == 2, no global
+    conditioning.  Which VARIANT runs is decided by _pair_kernel_mode."""
     if jax.default_backend() == "cpu" and not PAIR_KERNEL_CPU_INTERPRET:
         return False
     return (cfg.use_pallas and not has_g and cfg.affine and not cfg.causal
-            and cfg.n_layer == 2 and cc_half <= PAIR_KERNEL_MAX_CC)
+            and cfg.n_layer == 2)
+
+
+def _pair_kernel_mode(cfg: ModelConfig, cc_half: int,
+                      has_g: bool) -> Optional[str]:
+    """'wino' | 'direct' | 'hoisted' | None, by conditioning width."""
+    if not _pair_kernel_eligible(cfg, cc_half, has_g):
+        return None
+    if PAIR_KERNEL_WINO and cc_half <= PAIR_KERNEL_WINO_MAX_CC:
+        return "wino"
+    if cc_half <= PAIR_KERNEL_MAX_CC:
+        return "direct"
+    if PAIR_KERNEL_HOISTED:
+        return "hoisted"
+    return None
 
 
 def _pair_step_rev(cfg: ModelConfig, c_a, c_b, g_a, g_b,
@@ -353,22 +374,51 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c, g):
         u, v = jnp.split(x, 2, axis=2)
         c_a, c_b = jnp.split(c, 2, axis=2)
         g_a, g_b = jnp.split(g, 2, axis=2) if has_g else (None, None)
-        if _pair_kernel_eligible(cfg, c_a.shape[-1], has_g):
+        mode = _pair_kernel_mode(cfg, c_a.shape[-1], has_g)
+        if mode is not None:
             from ..ops import pallas_flow as pf
-            # Winograd F(2,3) variant where its (tighter) VMEM budget
-            # allows; direct-conv kernel otherwise (docs/benchmarks.md).
-            wino = (PAIR_KERNEL_WINO
-                    and c_a.shape[-1] <= PAIR_KERNEL_WINO_MAX_CC)
-            make_ops = (pf.pair_reverse_operands_wino if wino
-                        else pf.pair_reverse_operands)
-            run = (pf.fused_pair_reverse_wino if wino
-                   else pf.fused_pair_reverse)
             interp = jax.default_backend() == "cpu"
             pp = _pair_params(p)
-            for i in reversed(range(cfg.n_flow // 2)):
-                pair = jax.tree.map(lambda l: l[i], pp)
-                u, v = run(u, v, c_a, c_b, make_ops(pair, dtype=x.dtype),
-                           interpret=interp)
+            n_pair = cfg.n_flow // 2
+            if mode == "hoisted":
+                # Deep blocks: cond weights exceed VMEM.  Precompute every
+                # pair's conditioning pre-activations with ONE big matmul
+                # per c half (K = Cc/2 up to 10240 — MXU-friendly), then
+                # run the fused kernel on the streamed planes.
+                ops, we, wo = [], [], []
+                for i in range(n_pair):
+                    pair = jax.tree.map(lambda l, _i=i: l[_i], pp)
+                    o, (w_e, w_o) = pf.pair_reverse_operands_hoisted(
+                        pair, dtype=x.dtype)
+                    ops.append(o)
+                    we.append(w_e)
+                    wo.append(w_o)
+                pw = we[0].shape[-1]  # n_layer * 2R per pair
+                ce = jnp.dot(c_a, jnp.concatenate(we, -1),
+                             preferred_element_type=jnp.float32
+                             ).astype(x.dtype)
+                co = jnp.dot(c_b, jnp.concatenate(wo, -1),
+                             preferred_element_type=jnp.float32
+                             ).astype(x.dtype)
+                for i in reversed(range(n_pair)):
+                    u, v = pf.fused_pair_reverse(
+                        u, v, ce[..., i * pw:(i + 1) * pw],
+                        co[..., i * pw:(i + 1) * pw], ops[i],
+                        t_tile=PAIR_KERNEL_HOISTED_T_TILE,
+                        interpret=interp, hoisted=True)
+            else:
+                # Winograd F(2,3) variant where its (tighter) VMEM budget
+                # allows; direct-conv kernel otherwise (docs/benchmarks.md).
+                wino = mode == "wino"
+                make_ops = (pf.pair_reverse_operands_wino if wino
+                            else pf.pair_reverse_operands)
+                run = (pf.fused_pair_reverse_wino if wino
+                       else pf.fused_pair_reverse)
+                for i in reversed(range(n_pair)):
+                    pair = jax.tree.map(lambda l, _i=i: l[_i], pp)
+                    u, v = run(u, v, c_a, c_b,
+                               make_ops(pair, dtype=x.dtype),
+                               interpret=interp)
         else:
             (u, v), _ = jax.lax.scan(
                 _pair_step_rev(cfg, c_a, c_b, g_a, g_b), (u, v),

@@ -100,10 +100,17 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
     global sequence position of output row 0 (for edge masking); T the true
     sequence length.
 
+    ``cond_w=None`` = HOISTED conditioning: c_buf holds the precomputed
+    per-layer conditioning pre-activations ``c_half @ cond_w`` concatenated
+    on channels (layer0 || layer1, 2R wide each) instead of raw c — the
+    cond matmul ran outside the kernel (deep blocks, where the cond weights
+    exceed VMEM).  cond_b is still added here.
+
     Region bookkeeping (all static): the net output over [a, a+L) needs
     h1 over +-3, h0 over +-4, x over +-5 relative to that region.
     """
     f32 = jnp.float32
+    w2r = kfg.shape[-1]  # 2R: fused filter|gate width
     # h0 = relu(front(x)) over [-4, out_len+4)
     l_h0 = out_len + 8
     h0 = _conv3(x_buf, front_w, off=x_off - 4, length=l_h0, dilation=1)
@@ -114,7 +121,10 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
     l_g0 = out_len + 6
     fg0 = _conv3(h0, kfg[0], off=1, length=l_g0, dilation=1)
     c0 = jax.lax.slice_in_dim(c_buf, c_off - 3, c_off - 3 + l_g0, axis=0)
-    fg0 += jnp.dot(c0, cond_w[0], preferred_element_type=f32)
+    if cond_w is None:
+        fg0 += c0[:, :w2r].astype(f32)
+    else:
+        fg0 += jnp.dot(c0, cond_w[0], preferred_element_type=f32)
     fg0 += cond_b[0].astype(f32)
     r = fg0.shape[-1] // 2
     g0 = fg0.astype(GATE_DTYPE)
@@ -129,7 +139,10 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
     # layer 1 (d=3): fg over [0, out_len)
     fg1 = _conv3(h1, kfg[1], off=3, length=out_len, dilation=3)
     c1 = jax.lax.slice_in_dim(c_buf, c_off, c_off + out_len, axis=0)
-    fg1 += jnp.dot(c1, cond_w[1], preferred_element_type=f32)
+    if cond_w is None:
+        fg1 += c1[:, w2r:].astype(f32)
+    else:
+        fg1 += jnp.dot(c1, cond_w[1], preferred_element_type=f32)
     fg1 += cond_b[1].astype(f32)
     g1 = fg1.astype(GATE_DTYPE)
     gated1 = (jnp.tanh(g1[:, :r])
@@ -164,7 +177,8 @@ def _pair_kernel(u_ref, v_ref, ca_ref, cb_ref, front_w, front_b, kfg,
 
     def flow_w(i):
         return dict(front_w=front_w[i], front_b=front_b[i], kfg=kfg[i],
-                    cond_w=cond_w[i], cond_b=cond_b[i], res_w=res_w[i],
+                    cond_w=None if cond_w is None else cond_w[i],
+                    cond_b=cond_b[i], res_w=res_w[i],
                     res_b=res_b[i], skip_w=skip_w[i], skip_b=skip_b[i],
                     fin_w=fin_w[i], fin_b=fin_b[i], zw=zw[i], zb=zb[i])
 
@@ -199,6 +213,18 @@ def _pair_kernel(u_ref, v_ref, ca_ref, cb_ref, front_w, front_b, kfg,
 
     u_out[0] = u_fin.astype(dtype)
     v_out[0] = v_fin.astype(dtype)
+
+
+def _pair_kernel_hoisted(u_ref, v_ref, ce_ref, co_ref, front_w, front_b,
+                         kfg, cond_b, res_w, res_b, skip_w, skip_b, fin_w,
+                         fin_b, zw, zb, an_s, an_b, u_out, v_out,
+                         *, t_tile: int, n_t: int, T: int):
+    """Hoisted-conditioning variant: ce/co are the precomputed per-layer
+    conditioning pre-activations (even/odd flow), not raw c."""
+    _pair_kernel(u_ref, v_ref, ce_ref, co_ref, front_w, front_b, kfg,
+                 None, cond_b, res_w, res_b, skip_w, skip_b, fin_w, fin_b,
+                 zw, zb, an_s, an_b, u_out, v_out,
+                 t_tile=t_tile, n_t=n_t, T=T)
 
 
 def _wn(p, stacked_axis=None):
@@ -263,6 +289,26 @@ def pair_reverse_operands(pair: dict, dtype=jnp.bfloat16):
     return tuple(stacked) + (an_s, an_b)
 
 
+# operand index of cond_w in pair_reverse_operands output (see the order
+# table above _WEIGHT_OPERANDS at the bottom of this file)
+_COND_W_IDX = 3
+
+
+def pair_reverse_operands_hoisted(pair: dict, dtype=jnp.bfloat16):
+    """Kernel operands for the HOISTED-conditioning pair kernel (deep
+    blocks: cond weights exceed VMEM, so the cond matmuls run outside).
+
+    Returns (operands, (w_even, w_odd)): ``operands`` excludes cond_w;
+    w_flow is the [Cc, n_layer*2R] hoist weight (layer0 || layer1 on the
+    output axis) to apply as ``c_half @ w_flow`` OUTSIDE the kernel.
+    """
+    ops = list(pair_reverse_operands(pair, dtype))
+    cond_w = ops.pop(_COND_W_IDX)              # [2(flow), n_layer, Cc, 2R]
+    n_layer = cond_w.shape[1]
+    hoist = jnp.concatenate([cond_w[:, l] for l in range(n_layer)], axis=-1)
+    return tuple(ops), (hoist[0], hoist[1])
+
+
 def _windows(x, t_tile: int, n_t: int, T_pad: int):
     """Overlapping per-tile windows [B, n_t, t_tile + 2*HALO, C].
 
@@ -281,9 +327,14 @@ def _windows(x, t_tile: int, n_t: int, T_pad: int):
 
 
 def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
-                       interpret: bool = False):
+                       interpret: bool = False, hoisted: bool = False):
     """Apply one reverse flow pair. u, v: [B, T, R_in]; c_*: [B, T, Cc].
-    ``operands`` from pair_reverse_operands.  Returns (u', v')."""
+    ``operands`` from pair_reverse_operands.  Returns (u', v').
+
+    ``hoisted=True``: c_a/c_b are the precomputed conditioning
+    pre-activations for the even/odd flow ([B, T, n_layer*2R], from
+    pair_reverse_operands_hoisted's hoist weights) and ``operands`` excludes
+    cond_w."""
     B, T, R_in = u.shape
     dtype = u.dtype
     t_tile = min(t_tile, -(-T // 16) * 16)
@@ -295,7 +346,9 @@ def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
     Cc = c_a.shape[-1]
     win = t_tile + 2 * HALO
 
-    kernel = functools.partial(_pair_kernel, t_tile=t_tile, n_t=n_t, T=T)
+    kernel = functools.partial(
+        _pair_kernel_hoisted if hoisted else _pair_kernel,
+        t_tile=t_tile, n_t=n_t, T=T)
     grid = (B * n_t,)
 
     def in_map(g):
@@ -305,7 +358,8 @@ def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
         return (g // n_t, g % n_t, 0)
 
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    flops_net = 2 * T * (2 * 3 * 256 * 512 + 2 * Cc * 512 + 2 * 256 * 256
+    cond_flops = 0 if hoisted else 2 * Cc * 512
+    flops_net = 2 * T * (2 * 3 * 256 * 512 + cond_flops + 2 * 256 * 256
                          + 256 * 256 + 3 * R_in * 256 + 256 * 2 * R_in)
     u2, v2 = pl.pallas_call(
         kernel,

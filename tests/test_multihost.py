@@ -39,6 +39,11 @@ def test_two_process_train_step(tmp_path):
     worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["JAX_PLATFORMS"] = ""  # let the worker's config pick cpu
+    # the worker must import the repo regardless of how pytest found it
+    # (pytest inserts the rootdir into ITS OWN sys.path, not the child's)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo_root] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
     procs = [
         subprocess.Popen([sys.executable, worker, str(port), str(i)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,

@@ -148,17 +148,66 @@ def test_model_routing_matches_xla(key, rng, monkeypatch):
 
 
 def test_routing_gates(key, monkeypatch):
-    """Eligibility: causal / gin / odd layers / fat cond fall back to XLA,
-    and CPU never routes unless the interpret escape hatch is set."""
+    """Eligibility: causal / gin / odd layers fall back to XLA, CPU never
+    routes unless the interpret escape hatch is set, and the variant is
+    selected by conditioning width (wino -> direct -> hoisted)."""
     on = dataclasses.replace(CFG, use_pallas=True)
-    assert not fwn._pair_kernel_eligible(on, 160, has_g=False)  # cpu backend
+    assert fwn._pair_kernel_mode(on, 160, has_g=False) is None  # cpu backend
     monkeypatch.setattr(fwn, "PAIR_KERNEL_CPU_INTERPRET", True)
-    assert fwn._pair_kernel_eligible(on, 160, has_g=False)
-    assert not fwn._pair_kernel_eligible(
-        dataclasses.replace(CFG, use_pallas=False), 160, has_g=False)
-    assert not fwn._pair_kernel_eligible(
-        dataclasses.replace(on, causal=True), 160, False)
-    assert not fwn._pair_kernel_eligible(on, 160, True)          # gin
-    assert not fwn._pair_kernel_eligible(
-        dataclasses.replace(on, n_layer=3), 160, False)
-    assert not fwn._pair_kernel_eligible(on, 10240, False)       # VMEM
+    assert fwn._pair_kernel_mode(on, 160, has_g=False) == "wino"
+    assert fwn._pair_kernel_mode(on, 640, has_g=False) == "direct"
+    assert fwn._pair_kernel_mode(on, 10240, has_g=False) == "hoisted"
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_WINO", False)
+    assert fwn._pair_kernel_mode(on, 160, has_g=False) == "direct"
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_HOISTED", False)
+    assert fwn._pair_kernel_mode(on, 10240, has_g=False) is None
+    assert fwn._pair_kernel_mode(
+        dataclasses.replace(CFG, use_pallas=False), 160, has_g=False) is None
+    assert fwn._pair_kernel_mode(
+        dataclasses.replace(on, causal=True), 160, False) is None
+    assert fwn._pair_kernel_mode(on, 160, True) is None          # gin
+    assert fwn._pair_kernel_mode(
+        dataclasses.replace(on, n_layer=3), 160, False) is None
+
+
+@pytest.mark.parametrize("T,t_tile", [(128, 128), (192, 64)])
+def test_hoisted_pair_kernel_matches_xla(key, rng, T, t_tile):
+    """Hoisted-conditioning kernel == XLA pair-scan: the cond matmul runs
+    outside (fp32 accumulate) and the kernel consumes the planes."""
+    from flowavenet_tpu.ops.pallas_flow import pair_reverse_operands_hoisted
+    cfg = CFG
+    params = _randomized(key, cfg)
+    bp = params["blocks"][0]
+    u = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    v = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    c_a = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    c_b = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    u_ref, v_ref = _xla_pair_reverse(bp, cfg, u, v, c_a, c_b)
+    pair = jax.tree.map(lambda l: l[0], fwn._pair_params(bp))
+    ops, (w_e, w_o) = pair_reverse_operands_hoisted(pair, dtype=jnp.float32)
+    ce = jnp.dot(c_a, w_e, preferred_element_type=jnp.float32)
+    co = jnp.dot(c_b, w_o, preferred_element_type=jnp.float32)
+    u_k, v_k = fused_pair_reverse(u, v, ce, co, ops, t_tile=t_tile,
+                                  interpret=True, hoisted=True)
+    np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_hoisted_in_model_routing(key, rng, monkeypatch):
+    """Force the hoisted variant for EVERY block of the tiny model (as deep
+    blocks use it in production) and match the XLA path end to end."""
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_CPU_INTERPRET", True)
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_WINO", False)
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_MAX_CC", 0)  # nothing 'direct'
+    cfg_off = dataclasses.replace(CFG, use_pallas=False)
+    cfg_on = dataclasses.replace(CFG, use_pallas=True)
+    params = _randomized(key, cfg_off)
+    z = jnp.asarray(rng.randn(2, 4096, 1), jnp.float32)
+    mel = jnp.asarray(rng.rand(2, 4096 // cfg_off.hop_size,
+                               cfg_off.num_mels), jnp.float32)
+    base = np.asarray(reverse(params, cfg_off, z, mel))
+    fast = np.asarray(reverse(params, cfg_on, z, mel))
+    np.testing.assert_allclose(fast, base, rtol=2e-5, atol=2e-5)
+    assert np.all(np.isfinite(fast))
