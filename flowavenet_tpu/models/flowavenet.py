@@ -23,6 +23,7 @@ logdet = mean(-log_s)/2 (model.py:135); squeeze layout channel=2c+p
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple, Optional
 
@@ -265,14 +266,22 @@ PAIR_KERNEL_MAX_CC = 640
 # exercise the kernel in interpret mode in-model.
 PAIR_KERNEL_CPU_INTERPRET = False
 
-# Winograd F(2,3) pair kernel (ops/pallas_flow.py) for the narrow-cond
-# blocks; 1.5x fewer MXU FLOPs on the dominant filter|gate convs.
+# Winograd pair kernels (ops/pallas_flow.py) for the narrow-cond blocks.
+# F(2,3): 1.5x fewer MXU FLOPs on the dominant filter|gate convs;
+# F(4,3) (12-phase planes): 2x fewer.  PAIR_KERNEL_WINO4 picks F(4,3)
+# where Winograd routes at all.
 PAIR_KERNEL_WINO = True
+# F(4,3) measured SLOWER than F(2,3) at production tiles (b96 x 4s:
+# block 1 300 vs 265 ms) — per-phase matmul M halves, MXU pipeline
+# fill/drain dominates.  Off pending larger-tile tuning.
+PAIR_KERNEL_WINO4 = False
 PAIR_KERNEL_WINO_MAX_CC = 320
 
-# Hoisted-conditioning pair kernel for the deep blocks (XLA previously:
-# fusion-boundary overhead capped them at 30-40% MXU).
-PAIR_KERNEL_HOISTED = True
+# Hoisted-conditioning pair kernel for the deep blocks.  Measured at
+# t_tile 1024 (b96 x 4s) it LOSES to in-model XLA (e2e 1205 vs 1108 ms;
+# the round-1 stage profile overstated XLA's deep-block cost — in-model
+# XLA runs blocks 4-7 in ~190 ms total at ~60% MXU).  Off pending tuning.
+PAIR_KERNEL_HOISTED = False
 PAIR_KERNEL_HOISTED_T_TILE = 1024
 
 
@@ -293,7 +302,7 @@ def _pair_kernel_mode(cfg: ModelConfig, cc_half: int,
     if not _pair_kernel_eligible(cfg, cc_half, has_g):
         return None
     if PAIR_KERNEL_WINO and cc_half <= PAIR_KERNEL_WINO_MAX_CC:
-        return "wino"
+        return "wino4" if PAIR_KERNEL_WINO4 else "wino"
     if cc_half <= PAIR_KERNEL_MAX_CC:
         return "direct"
     if PAIR_KERNEL_HOISTED:
@@ -407,13 +416,19 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c, g):
                         t_tile=PAIR_KERNEL_HOISTED_T_TILE,
                         interpret=interp, hoisted=True)
             else:
-                # Winograd F(2,3) variant where its (tighter) VMEM budget
-                # allows; direct-conv kernel otherwise (docs/benchmarks.md).
-                wino = mode == "wino"
-                make_ops = (pf.pair_reverse_operands_wino if wino
-                            else pf.pair_reverse_operands)
-                run = (pf.fused_pair_reverse_wino if wino
-                       else pf.fused_pair_reverse)
+                # Winograd (F(4,3) 12-phase / F(2,3) 6-phase) for the
+                # narrow-cond blocks; direct-conv kernel otherwise
+                # (docs/benchmarks.md).
+                if mode == "wino4":
+                    make_ops = pf.pair_reverse_operands_wino4
+                    run = functools.partial(pf.fused_pair_reverse_wino,
+                                            phases=12)
+                elif mode == "wino":
+                    make_ops = pf.pair_reverse_operands_wino
+                    run = pf.fused_pair_reverse_wino
+                else:
+                    make_ops = pf.pair_reverse_operands
+                    run = pf.fused_pair_reverse
                 for i in reversed(range(n_pair)):
                     pair = jax.tree.map(lambda l, _i=i: l[_i], pp)
                     u, v = run(u, v, c_a, c_b,

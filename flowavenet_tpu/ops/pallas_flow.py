@@ -42,14 +42,24 @@ from jax.experimental.pallas import tpu as pltpu
 # 16 keeps DMA windows sublane-aligned).  Window = t_tile + 2*HALO.
 HALO = 16
 
+# Mosaic scoped-VMEM budget for kernel temporaries.  The default 16 MB
+# limit OOMs the hoisted deep-block kernels (and capped tile sizes for the
+# early blocks); v5e has 128 MB of VMEM total, so grant the kernels a
+# bigger stack and leave headroom for the pipeline's double-buffered
+# input/output blocks.
+VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+
 SQRT_HALF = 0.7071067811865476
 
 # Precision of the tanh/sigmoid gate evaluation inside the kernel.  fp32
 # matches the XLA path bit-for-bit; bfloat16 halves the VPU work (the gates
 # are the kernel's main non-MXU cost) at ~1e-2 relative gate error — below
-# the bf16 rounding already present on every matmul edge.  Benchmarked via
-# tmp experiments; default fp32 until quality-checked end to end.
-GATE_DTYPE = jnp.float32
+# the bf16 rounding already present on every matmul edge.  Default fp32
+# until quality-checked end to end; FWN_GATE_BF16=1 flips it (bench knob).
+import os as _os
+
+GATE_DTYPE = (jnp.bfloat16 if _os.environ.get("FWN_GATE_BF16")
+              else jnp.float32)
 
 
 def _conv3(buf, w, *, off: int, length: int, dilation: int):
@@ -383,6 +393,8 @@ def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
                             + 2 * B * T_pad * R_in) * dtype.itemsize,
             transcendentals=2 * B * T * 512 * 2,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(uw, vw, caw, cbw, *operands)
     if T_pad != T:
@@ -418,6 +430,15 @@ def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
 WINO_T_TILE = 960
 WINO_HALO = 36
 
+# F(4,3) (12-phase) variant: 6 multiplies per 4 outputs = 2x fewer MXU
+# FLOPs than direct on the filter|gate convs (vs F(2,3)'s 1.5x).  Same
+# plane trick with TWELVE phases so both 4-output tiles of d=1 (r..r+3)
+# and d=3 (r, r+3, r+6, r+9) stay full-sublane shifted slices.  The chain
+# still consumes +-1 plane row per conv stage, but plane rows are 12
+# samples, so the halo is 72 samples.
+WINO4_T_TILE = 1920
+WINO4_HALO = 72
+
 
 def _wino_weights(w):
     """G-transform 3-tap kernels: [..., 3, Cin, Cout] -> [..., 4, Cin, Cout]
@@ -429,11 +450,28 @@ def _wino_weights(w):
                      axis=-3)
 
 
+def _wino4_weights(w):
+    """F(4,3) G-transform (Lavin & Gray): [..., 3, Cin, Cout] ->
+    [..., 6, Cin, Cout]."""
+    w0 = w[..., 0, :, :]
+    w1 = w[..., 1, :, :]
+    w2 = w[..., 2, :, :]
+    return jnp.stack([
+        w0 * 0.25,
+        (-w0 - w1 - w2) * (1.0 / 6.0),
+        (-w0 + w1 - w2) * (1.0 / 6.0),
+        w0 * (1.0 / 24.0) + w1 * (1.0 / 12.0) + w2 * (1.0 / 6.0),
+        w0 * (1.0 / 24.0) - w1 * (1.0 / 12.0) + w2 * (1.0 / 6.0),
+        w2,
+    ], axis=-3)
+
+
 def _tap(planes, a_vals: int, r: int, off: int, a_out: int, L: int):
-    """Rows at global window offset (6j + r + off) for output plane rows
+    """Rows at global window offset (P*j + r + off) for output plane rows
     j in [a_out, a_out+L), from planes stored with region start a_vals."""
-    q = (r + off) % 6
-    s = (r + off - q) // 6
+    P = len(planes)
+    q = (r + off) % P
+    s = (r + off - q) // P
     rel = a_out + s - a_vals
     return jax.lax.slice_in_dim(planes[q], rel, rel + L, axis=0)
 
@@ -465,11 +503,43 @@ def _conv3_wino_pairs(planes, a_vals: int, U, *, step: int, a_out: int,
     return outs
 
 
+def _conv3_wino4_groups(planes, a_vals: int, U, *, step: int, a_out: int,
+                        L: int):
+    """Winograd F(4,3) over 12 phase planes: 6 multiplies per 4 outputs.
+    U: [6, Cin, Cout] from _wino4_weights.  Returns 12 fp32 [L, Cout]
+    planes at region start a_out.
+
+    d=1 output tiles: (0..3), (4..7), (8..11); d=3: (r, r+3, r+6, r+9)."""
+    outs = [None] * 12
+    groups = ([(0, 1, 2, 3), (4, 5, 6, 7), (8, 9, 10, 11)] if step == 1
+              else [(0, 3, 6, 9), (1, 4, 7, 10), (2, 5, 8, 11)])
+    f32 = jnp.float32
+    for grp in groups:
+        r0 = grp[0]
+        d = [_tap(planes, a_vals, r0, (k - 1) * step, a_out, L)
+             for k in range(6)]
+        # BT d (input transform; integer coefficients, VPU adds/shifts)
+        t0 = 4.0 * d[0] - 5.0 * d[2] + d[4]
+        t1 = -4.0 * (d[1] + d[2]) + d[3] + d[4]
+        t2 = 4.0 * (d[1] - d[2]) - d[3] + d[4]
+        t3 = -2.0 * d[1] - d[2] + 2.0 * d[3] + d[4]
+        t4 = 2.0 * d[1] - d[2] - 2.0 * d[3] + d[4]
+        t5 = 4.0 * d[1] - 5.0 * d[3] + d[5]
+        m = [jnp.dot(t, U[k], preferred_element_type=f32)
+             for k, t in enumerate((t0, t1, t2, t3, t4, t5))]
+        # AT m (output transform)
+        outs[grp[0]] = m[0] + m[1] + m[2] + m[3] + m[4]
+        outs[grp[1]] = m[1] - m[2] + 2.0 * (m[3] - m[4])
+        outs[grp[2]] = m[1] + m[2] + 4.0 * (m[3] + m[4])
+        outs[grp[3]] = m[1] - m[2] + 8.0 * (m[3] - m[4]) + m[5]
+    return outs
+
+
 def _conv3_front_planes(planes, a_vals: int, w, *, a_out: int, L: int):
     """Direct 3-tap d=1 conv for the tiny-Cin front layer, per plane."""
     cin = planes[0].shape[-1]
     outs = []
-    for r in range(6):
+    for r in range(len(planes)):
         acc = None
         for k in range(3):
             tap = _tap(planes, a_vals, r, k - 1, a_out, L)
@@ -490,9 +560,10 @@ def _mask_planes(planes, a: int, row0_win, T: int):
     """Zero plane rows whose global position is outside [0, T).
     row0_win = global position of window row 0 (traced scalar)."""
     out = []
+    P = len(planes)
     for r, x in enumerate(planes):
-        pos = (row0_win + 6 * a + r
-               + 6 * jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0))
+        pos = (row0_win + P * a + r
+               + P * jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0))
         out.append(jnp.where((pos >= 0) & (pos < T), x, jnp.zeros_like(x)))
     return out
 
@@ -500,10 +571,18 @@ def _mask_planes(planes, a: int, row0_win, T: int):
 def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win, T: int,
                        front_w, front_b, kfg, cond_w, cond_b, res_w, res_b,
                        skip_w, skip_b, fin_w, fin_b, zw, zb, dtype):
-    """Plane-space coupling net.  x_pl: 6 planes at region start x_a;
-    c_pl: 6 conditioning planes at region start 0 (full window).
-    Returns 6 fp32 net-output planes (log_s || t) at region a_h0 + 2."""
+    """Plane-space coupling net.  x_pl: P planes at region start x_a;
+    c_pl: P conditioning planes at region start 0 (full window).
+    Returns P fp32 net-output planes (log_s || t) at region a_h0 + 2.
+
+    P (6 or 12) and the Winograd variant are inferred from the shapes:
+    kfg[l] has 4 G-transformed taps for F(2,3), 6 for F(4,3).
+    ``cond_w=None`` = hoisted conditioning: c_pl holds the precomputed
+    per-layer pre-activations (layer0 || layer1 on channels)."""
     f32 = jnp.float32
+    P = len(x_pl)
+    conv = _conv3_wino_pairs if kfg.shape[1] == 4 else _conv3_wino4_groups
+    w2r = kfg.shape[-1]
     Lp = c_pl[0].shape[0]
     a0, a1, a2 = a_h0, a_h0 + 1, a_h0 + 2
     L0, L1, L2 = Lp - 2 * a0, Lp - 2 * a1, Lp - 2 * a2
@@ -514,13 +593,16 @@ def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win, T: int,
     h0 = _mask_planes(h0, a0, row0_win, T)
 
     # layer 0 (d=1)
-    fg0 = _conv3_wino_pairs(h0, a0, kfg[0], step=1, a_out=a1, L=L1)
+    fg0 = conv(h0, a0, kfg[0], step=1, a_out=a1, L=L1)
     r = fg0[0].shape[-1] // 2
     gated0, h1 = [], []
-    for q in range(6):
+    for q in range(P):
         c_sl = jax.lax.slice_in_dim(c_pl[q], a1, a1 + L1, axis=0)
-        fg = fg0[q] + jnp.dot(c_sl, cond_w[0],
-                              preferred_element_type=f32)
+        if cond_w is None:
+            fg = fg0[q] + c_sl[:, :w2r].astype(f32)
+        else:
+            fg = fg0[q] + jnp.dot(c_sl, cond_w[0],
+                                  preferred_element_type=f32)
         fg = (fg + cond_b[0].astype(f32)).astype(GATE_DTYPE)
         g = (jnp.tanh(fg[:, :r]) * jax.nn.sigmoid(fg[:, r:])).astype(dtype)
         gated0.append(g)
@@ -531,12 +613,15 @@ def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win, T: int,
     h1 = _mask_planes(h1, a1, row0_win, T)
 
     # layer 1 (d=3)
-    fg1 = _conv3_wino_pairs(h1, a1, kfg[1], step=3, a_out=a2, L=L2)
+    fg1 = conv(h1, a1, kfg[1], step=3, a_out=a2, L=L2)
     net = []
-    for q in range(6):
+    for q in range(P):
         c_sl = jax.lax.slice_in_dim(c_pl[q], a2, a2 + L2, axis=0)
-        fg = fg1[q] + jnp.dot(c_sl, cond_w[1],
-                              preferred_element_type=f32)
+        if cond_w is None:
+            fg = fg1[q] + c_sl[:, w2r:].astype(f32)
+        else:
+            fg = fg1[q] + jnp.dot(c_sl, cond_w[1],
+                                  preferred_element_type=f32)
         fg = (fg + cond_b[1].astype(f32)).astype(GATE_DTYPE)
         g1 = (jnp.tanh(fg[:, :r]) * jax.nn.sigmoid(fg[:, r:])).astype(dtype)
         sk0 = jnp.dot(jax.lax.slice_in_dim(gated0[q], 1, 1 + L2, axis=0),
@@ -559,18 +644,21 @@ def _pair_kernel_wino(u_ref, v_ref, ca_ref, cb_ref, front_w, front_b, kfg,
     g = pl.program_id(0)
     f32 = jnp.float32
     dtype = u_out.dtype
-    row0_win = (g % n_t) * t_tile - WINO_HALO
+    P = u_ref.shape[2]                 # phase planes: 6=F(2,3), 12=F(4,3)
+    halo = 6 * P                       # 6 plane rows each side
+    row0_win = (g % n_t) * t_tile - halo
 
-    u_pl = [u_ref[0, 0, q] for q in range(6)]
-    v_pl = [v_ref[0, 0, q] for q in range(6)]
-    ca_pl = [ca_ref[0, 0, q] for q in range(6)]
-    cb_pl = [cb_ref[0, 0, q] for q in range(6)]
+    u_pl = [u_ref[0, 0, q] for q in range(P)]
+    v_pl = [v_ref[0, 0, q] for q in range(P)]
+    ca_pl = [ca_ref[0, 0, q] for q in range(P)]
+    cb_pl = [cb_ref[0, 0, q] for q in range(P)]
     r_in = u_pl[0].shape[-1]
     Lp = u_pl[0].shape[0]
 
     def flow_w(i):
         return dict(front_w=front_w[i], front_b=front_b[i], kfg=kfg[i],
-                    cond_w=cond_w[i], cond_b=cond_b[i], res_w=res_w[i],
+                    cond_w=None if cond_w is None else cond_w[i],
+                    cond_b=cond_b[i], res_w=res_w[i],
                     res_b=res_b[i], skip_w=skip_w[i], skip_b=skip_b[i],
                     fin_w=fin_w[i], fin_b=fin_b[i], zw=zw[i], zb=zb[i])
 
@@ -579,7 +667,7 @@ def _pair_kernel_wino(u_ref, v_ref, ca_ref, cb_ref, front_w, front_b, kfg,
                              T=T, dtype=dtype, **flow_w(1))
     a_mid, L_mid = 3, Lp - 6
     u_mid = []
-    for q in range(6):
+    for q in range(P):
         n_q = net[q]
         u_sl = jax.lax.slice_in_dim(u_pl[q], a_mid, a_mid + L_mid, axis=0)
         um = (u_sl.astype(f32) * jnp.exp(n_q[:, :r_in]) + n_q[:, r_in:])
@@ -593,7 +681,7 @@ def _pair_kernel_wino(u_ref, v_ref, ca_ref, cb_ref, front_w, front_b, kfg,
                               row0_win=row0_win, T=T, dtype=dtype,
                               **flow_w(0))
     a_out, L_out = 6, Lp - 12
-    for q in range(6):
+    for q in range(P):
         v_sl = jax.lax.slice_in_dim(v_pl[q], a_out, a_out + L_out, axis=0)
         v_an = (v_sl.astype(f32) * an_s[1, 0].astype(f32)
                 - an_b[1, 0].astype(f32))
@@ -605,6 +693,19 @@ def _pair_kernel_wino(u_ref, v_ref, ca_ref, cb_ref, front_w, front_b, kfg,
                  - an_b[0, 0].astype(f32))
         u_out[0, 0, q] = u_fin.astype(dtype)
         v_out[0, 0, q] = v_fin.astype(dtype)
+
+
+def _pair_kernel_wino_hoisted(u_ref, v_ref, ce_ref, co_ref, front_w,
+                              front_b, kfg, cond_b, res_w, res_b, skip_w,
+                              skip_b, fin_w, fin_b, zw, zb, an_s, an_b,
+                              u_out, v_out, *, t_tile: int, n_t: int,
+                              T: int):
+    """Hoisted-conditioning Winograd variant: ce/co are precomputed cond
+    pre-activation planes (even/odd flow), not raw c."""
+    _pair_kernel_wino(u_ref, v_ref, ce_ref, co_ref, front_w, front_b, kfg,
+                      None, cond_b, res_w, res_b, skip_w, skip_b, fin_w,
+                      fin_b, zw, zb, an_s, an_b, u_out, v_out,
+                      t_tile=t_tile, n_t=n_t, T=T)
 
 
 # operand order from pair_reverse_operands / _flow_operands:
@@ -624,65 +725,95 @@ def pair_reverse_operands_wino(pair: dict, dtype=jnp.bfloat16):
                  for i, o in enumerate(ops))
 
 
-def _windows_wino(x, t_tile: int, n_t: int, T_pad: int):
-    """Overlapping windows de-interleaved into 6 phase planes:
-    [B, n_t, 6, win/6, C]."""
+def pair_reverse_operands_wino4(pair: dict, dtype=jnp.bfloat16,
+                                hoisted: bool = False):
+    """F(4,3) operands: kfg becomes [2, n_layer, 6, Cin, Cout] (G-transform
+    in fp32; the 1/6, 1/12, 1/24 factors round once into ``dtype``).
+
+    ``hoisted=True`` additionally pops cond_w and returns
+    (operands, (w_even, w_odd)) like pair_reverse_operands_hoisted."""
+    ops = list(pair_reverse_operands(pair, dtype=jnp.float32))
+    ops[2] = _wino4_weights(ops[2])
+    ops = [o.astype(dtype) if i in _WEIGHT_OPERANDS else o
+           for i, o in enumerate(ops)]
+    if not hoisted:
+        return tuple(ops)
+    cond_w = ops.pop(_COND_W_IDX)
+    n_layer = cond_w.shape[1]
+    hoist = jnp.concatenate([cond_w[:, l] for l in range(n_layer)], axis=-1)
+    return tuple(ops), (hoist[0], hoist[1])
+
+
+def _windows_wino(x, t_tile: int, n_t: int, T_pad: int, P: int, halo: int):
+    """Overlapping windows de-interleaved into P phase planes:
+    [B, n_t, P, win/P, C]."""
     B, T, C = x.shape
-    xp = jnp.pad(x, ((0, 0), (WINO_HALO, T_pad - T + WINO_HALO), (0, 0)))
-    win = t_tile + 2 * WINO_HALO
+    xp = jnp.pad(x, ((0, 0), (halo, T_pad - T + halo), (0, 0)))
+    win = t_tile + 2 * halo
     w = jnp.stack(
         [jax.lax.slice_in_dim(xp, ti * t_tile, ti * t_tile + win, axis=1)
          for ti in range(n_t)], axis=1)            # [B, n_t, win, C]
-    w = w.reshape(B, n_t, win // 6, 6, C)
-    return jnp.transpose(w, (0, 1, 3, 2, 4))       # [B, n_t, 6, win/6, C]
+    w = w.reshape(B, n_t, win // P, P, C)
+    return jnp.transpose(w, (0, 1, 3, 2, 4))       # [B, n_t, P, win/P, C]
 
 
-def fused_pair_reverse_wino(u, v, c_a, c_b, operands, *, interpret=False):
-    """Winograd pair-flow reverse.  Same contract as fused_pair_reverse."""
+def fused_pair_reverse_wino(u, v, c_a, c_b, operands, *, interpret=False,
+                            phases: int = 6, hoisted: bool = False):
+    """Winograd pair-flow reverse.  Same contract as fused_pair_reverse.
+    phases=6 -> F(2,3) (operands from pair_reverse_operands_wino);
+    phases=12 -> F(4,3) (from pair_reverse_operands_wino4).
+    ``hoisted=True``: c_a/c_b are precomputed cond planes and operands
+    exclude cond_w."""
     B, T, R_in = u.shape
     dtype = u.dtype
-    # tile must be a multiple of 48 (6-phase alignment x 16-row sublanes)
-    t_tile = min(WINO_T_TILE, max(48, -(-T // 48) * 48))
+    P = phases
+    halo = 6 * P  # 6 plane rows each side (one per chained conv stage)
+    base_tile = WINO_T_TILE if P == 6 else WINO4_T_TILE
+    # tile start must preserve phase (multiple of P) and plane rows should
+    # stay 16-row aligned: lcm(6,16)=48, lcm(12,16)=48
+    t_tile = min(base_tile, max(4 * P, -(-T // 48) * 48))
     n_t = -(-T // t_tile)
     T_pad = n_t * t_tile
 
-    uw, vw, caw, cbw = (_windows_wino(x, t_tile, n_t, T_pad)
+    uw, vw, caw, cbw = (_windows_wino(x, t_tile, n_t, T_pad, P, halo)
                         for x in (u, v, c_a, c_b))
     Cc = c_a.shape[-1]
-    win = t_tile + 2 * WINO_HALO
-    Lp = win // 6
+    win = t_tile + 2 * halo
+    Lp = win // P
 
-    kernel = functools.partial(_pair_kernel_wino, t_tile=t_tile, n_t=n_t,
-                               T=T)
+    kern = _pair_kernel_wino_hoisted if hoisted else _pair_kernel_wino
+    kernel = functools.partial(kern, t_tile=t_tile, n_t=n_t, T=T)
     grid = (B * n_t,)
 
     def in_map(g):
         return (g // n_t, g % n_t, 0, 0, 0)
 
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    flops_net = 2 * T * ((4 / 6) * 2 * 3 * 256 * 512 + 2 * Cc * 512
+    mults = 4 / 6 if P == 6 else 6 / 12
+    cond_flops = 0 if hoisted else 2 * Cc * 512
+    flops_net = 2 * T * (mults * 2 * 3 * 256 * 512 + cond_flops
                          + 2 * 256 * 256 + 256 * 256 + 3 * R_in * 256
                          + 256 * 2 * R_in)
     u2, v2 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 6, Lp, R_in), in_map,
+            pl.BlockSpec((1, 1, P, Lp, R_in), in_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 6, Lp, R_in), in_map,
+            pl.BlockSpec((1, 1, P, Lp, R_in), in_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 6, Lp, Cc), in_map,
+            pl.BlockSpec((1, 1, P, Lp, Cc), in_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 6, Lp, Cc), in_map,
+            pl.BlockSpec((1, 1, P, Lp, Cc), in_map,
                          memory_space=pltpu.VMEM),
         ] + [wspec] * len(operands),
         out_specs=[
-            pl.BlockSpec((1, 1, 6, t_tile // 6, R_in), in_map,
+            pl.BlockSpec((1, 1, P, t_tile // P, R_in), in_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 6, t_tile // 6, R_in), in_map,
+            pl.BlockSpec((1, 1, P, t_tile // P, R_in), in_map,
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((B, n_t, 6, t_tile // 6, R_in),
+        out_shape=[jax.ShapeDtypeStruct((B, n_t, P, t_tile // P, R_in),
                                         dtype)] * 2,
         cost_estimate=pl.CostEstimate(
             flops=int(2 * B * flops_net),
@@ -690,11 +821,13 @@ def fused_pair_reverse_wino(u, v, c_a, c_b, operands, *, interpret=False):
                             + 2 * B * T_pad * R_in) * dtype.itemsize,
             transcendentals=2 * B * T * 512 * 2,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(uw, vw, caw, cbw, *operands)
 
     def reinterleave(x):
-        x = jnp.transpose(x, (0, 1, 3, 2, 4))       # [B, n_t, tt/6, 6, R]
+        x = jnp.transpose(x, (0, 1, 3, 2, 4))       # [B, n_t, tt/P, P, R]
         return x.reshape(B, T_pad, R_in)[:, :T]
 
     return reinterleave(u2), reinterleave(v2)

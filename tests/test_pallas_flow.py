@@ -107,6 +107,56 @@ def test_wino_pair_kernel_matches_xla(key, rng, T):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("T", [192, 384, 400])
+def test_wino4_pair_kernel_matches_xla(key, rng, T):
+    """Winograd F(4,3) 12-plane variant == XLA pair-scan, incl. ragged
+    tails and phase alignment (T=400 is not a multiple of 48)."""
+    from flowavenet_tpu.ops.pallas_flow import (fused_pair_reverse_wino,
+                                                pair_reverse_operands_wino4)
+    cfg = CFG
+    params = _randomized(key, cfg)
+    bp = params["blocks"][0]
+    u = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    v = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    c_a = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    c_b = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    u_ref, v_ref = _xla_pair_reverse(bp, cfg, u, v, c_a, c_b)
+    pair = jax.tree.map(lambda l: l[0], fwn._pair_params(bp))
+    ops = pair_reverse_operands_wino4(pair, dtype=jnp.float32)
+    u_k, v_k = fused_pair_reverse_wino(u, v, c_a, c_b, ops, interpret=True,
+                                       phases=12)
+    np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_wino4_hoisted_matches_xla(key, rng):
+    """F(4,3) with hoisted conditioning == XLA pair-scan."""
+    from flowavenet_tpu.ops.pallas_flow import (fused_pair_reverse_wino,
+                                                pair_reverse_operands_wino4)
+    cfg = CFG
+    params = _randomized(key, cfg)
+    bp = params["blocks"][0]
+    T = 240
+    u = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    v = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    c_a = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    c_b = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    u_ref, v_ref = _xla_pair_reverse(bp, cfg, u, v, c_a, c_b)
+    pair = jax.tree.map(lambda l: l[0], fwn._pair_params(bp))
+    ops, (w_e, w_o) = pair_reverse_operands_wino4(pair, dtype=jnp.float32,
+                                                  hoisted=True)
+    ce = jnp.dot(c_a, w_e, preferred_element_type=jnp.float32)
+    co = jnp.dot(c_b, w_o, preferred_element_type=jnp.float32)
+    u_k, v_k = fused_pair_reverse_wino(u, v, ce, co, ops, interpret=True,
+                                       phases=12, hoisted=True)
+    np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_wino_multi_tile(key, rng, monkeypatch):
     """Force several Winograd tiles (small WINO_T_TILE) so cross-tile halo
     and phase bookkeeping is covered."""
@@ -154,8 +204,12 @@ def test_routing_gates(key, monkeypatch):
     on = dataclasses.replace(CFG, use_pallas=True)
     assert fwn._pair_kernel_mode(on, 160, has_g=False) is None  # cpu backend
     monkeypatch.setattr(fwn, "PAIR_KERNEL_CPU_INTERPRET", True)
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_WINO4", True)
+    assert fwn._pair_kernel_mode(on, 160, has_g=False) == "wino4"
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_WINO4", False)
     assert fwn._pair_kernel_mode(on, 160, has_g=False) == "wino"
     assert fwn._pair_kernel_mode(on, 640, has_g=False) == "direct"
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_HOISTED", True)
     assert fwn._pair_kernel_mode(on, 10240, has_g=False) == "hoisted"
     monkeypatch.setattr(fwn, "PAIR_KERNEL_WINO", False)
     assert fwn._pair_kernel_mode(on, 160, has_g=False) == "direct"
@@ -200,6 +254,7 @@ def test_hoisted_in_model_routing(key, rng, monkeypatch):
     blocks use it in production) and match the XLA path end to end."""
     monkeypatch.setattr(fwn, "PAIR_KERNEL_CPU_INTERPRET", True)
     monkeypatch.setattr(fwn, "PAIR_KERNEL_WINO", False)
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_HOISTED", True)
     monkeypatch.setattr(fwn, "PAIR_KERNEL_MAX_CC", 0)  # nothing 'direct'
     cfg_off = dataclasses.replace(CFG, use_pallas=False)
     cfg_on = dataclasses.replace(CFG, use_pallas=True)
