@@ -61,12 +61,21 @@ import os as _os
 GATE_DTYPE = (jnp.bfloat16 if _os.environ.get("FWN_GATE_BF16")
               else jnp.float32)
 
+# Accumulation dtype for the kernels' conv/skip/final chains.  fp32
+# bit-matches the XLA path; bfloat16 halves the VPU cost of the adds,
+# casts, and gate inputs.  The kernels are VPU-bound, not MXU-bound —
+# measured block 0 b96 x 4s: direct (57 TF) 444 ms vs wino6 (39.5 TF)
+# 402 ms, within 10% despite a 1.5x MXU FLOP gap.  FWN_ACC_BF16=1 flips
+# it (bench knob; default fp32 until quality-checked).
+ACC_DTYPE = (jnp.bfloat16 if _os.environ.get("FWN_ACC_BF16")
+             else jnp.float32)
+
 
 def _conv3(buf, w, *, off: int, length: int, dilation: int):
     """3-tap dilated conv over a VMEM-resident value.
 
     buf[j] holds position (j - off) relative to the output's first row;
-    returns fp32 [length, Cout] = sum_k buf[row + (k-1)*d] @ w[k].
+    returns ACC_DTYPE [length, Cout] = sum_k buf[row + (k-1)*d] @ w[k].
     """
     cin = buf.shape[-1]
     acc = None
@@ -74,32 +83,79 @@ def _conv3(buf, w, *, off: int, length: int, dilation: int):
         start = off - dilation + k * dilation
         tap = jax.lax.slice_in_dim(buf, start, start + length, axis=0)
         if cin >= 8:
-            o = jnp.dot(tap, w[k], preferred_element_type=jnp.float32)
+            o = jnp.dot(tap, w[k], preferred_element_type=ACC_DTYPE)
         else:
             # tiny-Cin taps (early blocks: u/v have 1-4 channels) are
             # broadcast multiplies on the VPU, not degenerate MXU passes
             o = None
             for c in range(cin):
-                t_ = (tap[:, c:c + 1].astype(jnp.float32)
-                      * w[k][c].astype(jnp.float32)[None, :])
+                t_ = (tap[:, c:c + 1].astype(ACC_DTYPE)
+                      * w[k][c].astype(ACC_DTYPE)[None, :])
                 o = t_ if o is None else o + t_
         acc = o if acc is None else acc + o
     return acc
 
 
-def _mask_valid(x, row0, T: int):
+# Timing probe: FWN_NO_MASK=1 skips ALL edge masking (numerically wrong at
+# sequence edges; bounds the masks' VPU cost).
+_NO_MASK = bool(_os.environ.get("FWN_NO_MASK"))
+
+
+def _mask_valid(x, row0, T: int, edge=None):
     """Zero rows whose global position falls outside [0, T).
 
     The reference zero-pads EVERY conv's input at the sequence edges
     (modules.py:24-33); intermediates like relu(conv(0) + bias) are nonzero
     there, so anything another conv consumes must be re-zeroed outside the
-    sequence.  row0 = global position of x's row 0 (traced scalar)."""
-    pos = row0 + jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)
-    return jnp.where((pos >= 0) & (pos < T), x, jnp.zeros_like(x))
+    sequence.  row0 = global position of x's row 0 (traced scalar).
+
+    ``edge`` (traced bool) gates the work: interior tiles' windows hold
+    only in-range data, so the mask is an exact no-op there and the VPU
+    arithmetic is skipped via lax.cond.  edge=None masks unconditionally."""
+    def do(x):
+        pos = row0 + jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)
+        return jnp.where((pos >= 0) & (pos < T), x, jnp.zeros_like(x))
+
+    if _NO_MASK:
+        return x
+    if edge is None:
+        return do(x)
+    return jax.lax.cond(edge, do, lambda x_: x_, x)
+
+
+def _edge_pred(ti, t_tile: int, n_t: int, halo: int):
+    """Traced 'this tile's window may touch sequence edges / padding'.
+    None when every tile is an edge tile (gating would not help)."""
+    k = -(-halo // t_tile)
+    if n_t <= 2 * k + 1:
+        return None
+    return (ti < k) | (ti >= n_t - k - 1)
+
+
+_NO_GATE = bool(_os.environ.get("FWN_NO_GATE"))  # timing probe: skip tanh/sig
+
+
+def _gated(fg, r: int, dtype):
+    """tanh(f) * sigmoid(g) on the fused [.., 2R] pre-activation.
+
+    In bf16 GATE_DTYPE, jnp.tanh trips a Mosaic verifier bug
+    (vector.broadcast element type); compute both gates via exp instead:
+    tanh(x) = 2/(1+exp(-2x)) - 1, sigmoid(x) = 1/(1+exp(-x))."""
+    if _NO_GATE:
+        return (fg[:, :r] + fg[:, r:]).astype(dtype)
+    fg = fg.astype(GATE_DTYPE)
+    f, g = fg[:, :r], fg[:, r:]
+    if GATE_DTYPE == jnp.float32:
+        return (jnp.tanh(f) * jax.nn.sigmoid(g)).astype(dtype)
+    one = jnp.asarray(1.0, GATE_DTYPE)
+    two = jnp.asarray(2.0, GATE_DTYPE)
+    th = two / (one + jnp.exp(-two * f)) - one
+    sg = one / (one + jnp.exp(-g))
+    return (th * sg).astype(dtype)
 
 
 def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
-                  row0, T: int,
+                  row0, T: int, edge=None,
                   front_w, front_b, kfg, cond_w, cond_b, res_w, res_b,
                   skip_w, skip_b, fin_w, fin_b, zw, zb, dtype):
     """WaveNet coupling net over VMEM values.
@@ -119,57 +175,54 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
     Region bookkeeping (all static): the net output over [a, a+L) needs
     h1 over +-3, h0 over +-4, x over +-5 relative to that region.
     """
-    f32 = jnp.float32
+    acc = ACC_DTYPE
     w2r = kfg.shape[-1]  # 2R: fused filter|gate width
     # h0 = relu(front(x)) over [-4, out_len+4)
     l_h0 = out_len + 8
     h0 = _conv3(x_buf, front_w, off=x_off - 4, length=l_h0, dilation=1)
-    h0 = jnp.maximum(h0 + front_b.astype(f32), 0.0).astype(dtype)
-    h0 = _mask_valid(h0, row0 - 4, T)
+    h0 = jnp.maximum(h0 + front_b.astype(acc), 0.0).astype(dtype)
+    h0 = _mask_valid(h0, row0 - 4, T, edge)
 
     # layer 0 (d=1): fg over [-3, out_len+3)
     l_g0 = out_len + 6
     fg0 = _conv3(h0, kfg[0], off=1, length=l_g0, dilation=1)
     c0 = jax.lax.slice_in_dim(c_buf, c_off - 3, c_off - 3 + l_g0, axis=0)
     if cond_w is None:
-        fg0 += c0[:, :w2r].astype(f32)
+        fg0 += c0[:, :w2r].astype(acc)
     else:
-        fg0 += jnp.dot(c0, cond_w[0], preferred_element_type=f32)
-    fg0 += cond_b[0].astype(f32)
+        fg0 += jnp.dot(c0, cond_w[0], preferred_element_type=acc)
+    fg0 += cond_b[0].astype(acc)
     r = fg0.shape[-1] // 2
-    g0 = fg0.astype(GATE_DTYPE)
-    gated0 = (jnp.tanh(g0[:, :r])
-              * jax.nn.sigmoid(g0[:, r:])).astype(dtype)
-    res0 = jnp.dot(gated0, res_w, preferred_element_type=f32)
-    res0 += res_b.astype(f32)
+    gated0 = _gated(fg0, r, dtype)
+    res0 = jnp.dot(gated0, res_w, preferred_element_type=acc)
+    res0 += res_b.astype(acc)
     h0_mid = jax.lax.slice_in_dim(h0, 1, 1 + l_g0, axis=0)
-    h1 = ((h0_mid.astype(f32) + res0) * SQRT_HALF).astype(dtype)
-    h1 = _mask_valid(h1, row0 - 3, T)
+    h1 = ((h0_mid.astype(acc) + res0) * SQRT_HALF).astype(dtype)
+    h1 = _mask_valid(h1, row0 - 3, T, edge)
 
     # layer 1 (d=3): fg over [0, out_len)
     fg1 = _conv3(h1, kfg[1], off=3, length=out_len, dilation=3)
     c1 = jax.lax.slice_in_dim(c_buf, c_off, c_off + out_len, axis=0)
     if cond_w is None:
-        fg1 += c1[:, w2r:].astype(f32)
+        fg1 += c1[:, w2r:].astype(acc)
     else:
-        fg1 += jnp.dot(c1, cond_w[1], preferred_element_type=f32)
-    fg1 += cond_b[1].astype(f32)
-    g1 = fg1.astype(GATE_DTYPE)
-    gated1 = (jnp.tanh(g1[:, :r])
-              * jax.nn.sigmoid(g1[:, r:])).astype(dtype)
+        fg1 += jnp.dot(c1, cond_w[1], preferred_element_type=acc)
+    fg1 += cond_b[1].astype(acc)
+    gated1 = _gated(fg1, r, dtype)
 
     sk0 = jnp.dot(jax.lax.slice_in_dim(gated0, 3, 3 + out_len, axis=0),
-                  skip_w[0], preferred_element_type=f32)
-    sk0 += skip_b[0].astype(f32)
-    sk1 = jnp.dot(gated1, skip_w[1], preferred_element_type=f32)
-    sk1 += skip_b[1].astype(f32)
+                  skip_w[0], preferred_element_type=acc)
+    sk0 += skip_b[0].astype(acc)
+    sk1 = jnp.dot(gated1, skip_w[1], preferred_element_type=acc)
+    sk1 += skip_b[1].astype(acc)
 
     out = jnp.maximum(sk0 + sk1, 0.0).astype(dtype)
-    out = jnp.dot(out, fin_w, preferred_element_type=f32)
-    out = jnp.maximum(out + fin_b.astype(f32), 0.0).astype(dtype)
-    # zero conv with exp(3*scale) folded into zw/zb
-    net = jnp.dot(out, zw, preferred_element_type=f32)
-    return net + zb.astype(f32)
+    out = jnp.dot(out, fin_w, preferred_element_type=acc)
+    out = jnp.maximum(out + fin_b.astype(acc), 0.0).astype(dtype)
+    # zero conv with exp(3*scale) folded into zw/zb; fp32 for the
+    # downstream affine exp/update regardless of ACC_DTYPE
+    net = jnp.dot(out, zw, preferred_element_type=jnp.float32)
+    return net + zb.astype(jnp.float32)
 
 
 def _pair_kernel(u_ref, v_ref, ca_ref, cb_ref, front_w, front_b, kfg,
@@ -193,12 +246,17 @@ def _pair_kernel(u_ref, v_ref, ca_ref, cb_ref, front_w, front_b, kfg,
                     fin_w=fin_w[i], fin_b=fin_b[i], zw=zw[i], zb=zb[i])
 
     # ---- flow pair, reverse order (odd first) --------------------------
-    tile_start = (g % n_t) * t_tile
+    ti = g % n_t
+    tile_start = ti * t_tile
+    # NOTE: gating the masks behind lax.cond(_edge_pred(...)) was measured
+    # SLOWER (block 0 wino: 505 vs 402 ms) — Mosaic conds break the
+    # software pipeline.  Masks run unconditionally.
+    edge = None
     # couple(odd): u' = u*exp(log_s(v)) + t(v), needed over [-5, Tt+5)
     l_mid = t_tile + 10
     net = _coupling_net(v, cb, x_off=HALO - 5, c_off=HALO - 5,
                         out_len=l_mid, row0=tile_start - 5, T=T,
-                        dtype=dtype, **flow_w(1))
+                        edge=edge, dtype=dtype, **flow_w(1))
     log_s, t = net[:, :r_in], net[:, r_in:]
     u_mid = jax.lax.slice_in_dim(u, HALO - 5, HALO - 5 + l_mid, axis=0)
     u_mid = u_mid.astype(f32) * jnp.exp(log_s) + t
@@ -208,12 +266,12 @@ def _pair_kernel(u_ref, v_ref, ca_ref, cb_ref, front_w, front_b, kfg,
     u_mid = (u_mid * an_s[1, 1].astype(f32)
              - an_b[1, 1].astype(f32)).astype(dtype)
     # zero u' outside the sequence before couple2's convs consume it
-    u_mid = _mask_valid(u_mid, tile_start - 5, T)
+    u_mid = _mask_valid(u_mid, tile_start - 5, T, edge)
 
     # couple(even): v' = v*exp(log_s(u')) + t(u'), needed over [0, Tt)
     net2 = _coupling_net(u_mid, ca, x_off=5, c_off=HALO,
                          out_len=t_tile, row0=tile_start, T=T,
-                         dtype=dtype, **flow_w(0))
+                         edge=edge, dtype=dtype, **flow_w(0))
     log_s2, t2 = net2[:, :r_in], net2[:, r_in:]
     v_new = v_an * jnp.exp(log_s2) + t2
     # actnorm reverse (even): u half0, v half1
@@ -336,6 +394,25 @@ def _windows(x, t_tile: int, n_t: int, T_pad: int):
          for ti in range(n_t)], axis=1)
 
 
+def pair_reverse_window_c(c, T: int, *, t_tile: int = 1024):
+    """Pre-window a block-constant conditioning tensor for
+    fused_pair_reverse (call once per block, reuse across pairs)."""
+    t_tile = min(t_tile, -(-T // 16) * 16)
+    n_t = -(-T // t_tile)
+    return _windows(c, t_tile, n_t, n_t * t_tile)
+
+
+def pair_reverse_window_c_wino(c, T: int, *, phases: int = 6):
+    """Pre-window + de-interleave conditioning for
+    fused_pair_reverse_wino."""
+    P = phases
+    halo = 6 * P
+    base_tile = WINO_T_TILE if P == 6 else WINO4_T_TILE
+    t_tile = min(base_tile, max(4 * P, -(-T // 48) * 48))
+    n_t = -(-T // t_tile)
+    return _windows_wino(c, t_tile, n_t, n_t * t_tile, P, halo)
+
+
 def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
                        interpret: bool = False, hoisted: bool = False):
     """Apply one reverse flow pair. u, v: [B, T, R_in]; c_*: [B, T, Cc].
@@ -351,8 +428,14 @@ def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
     n_t = -(-T // t_tile)
     T_pad = n_t * t_tile
 
-    uw, vw, caw, cbw = (_windows(x, t_tile, n_t, T_pad)
-                        for x in (u, v, c_a, c_b))
+    uw, vw = (_windows(x, t_tile, n_t, T_pad) for x in (u, v))
+    # c is constant across a block's pairs: callers pre-window it once
+    # (4-D [B, n_t, win, Cc]) instead of paying the windowing HBM round
+    # trip per pair (~9 GB/block at block-0 synthesis shapes).
+    if c_a.ndim == 3:
+        c_a = _windows(c_a, t_tile, n_t, T_pad)
+        c_b = _windows(c_b, t_tile, n_t, T_pad)
+    caw, cbw = c_a, c_b
     Cc = c_a.shape[-1]
     win = t_tile + 2 * HALO
 
@@ -427,7 +510,7 @@ def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
 # 160 plane rows = t_tile.
 # ===========================================================================
 
-WINO_T_TILE = 960
+WINO_T_TILE = 1920
 WINO_HALO = 36
 
 # F(4,3) (12-phase) variant: 6 multiplies per 4 outputs = 2x fewer MXU
@@ -494,10 +577,10 @@ def _conv3_wino_pairs(planes, a_vals: int, U, *, step: int, a_out: int,
         d1 = _tap(planes, a_vals, r0, 0, a_out, L)
         d2 = _tap(planes, a_vals, r0, step, a_out, L)
         d3 = _tap(planes, a_vals, r0, 2 * step, a_out, L)
-        m0 = jnp.dot(d0 - d2, U[0], preferred_element_type=jnp.float32)
-        m1 = jnp.dot(d1 + d2, U[1], preferred_element_type=jnp.float32)
-        m2 = jnp.dot(d2 - d1, U[2], preferred_element_type=jnp.float32)
-        m3 = jnp.dot(d1 - d3, U[3], preferred_element_type=jnp.float32)
+        m0 = jnp.dot(d0 - d2, U[0], preferred_element_type=ACC_DTYPE)
+        m1 = jnp.dot(d1 + d2, U[1], preferred_element_type=ACC_DTYPE)
+        m2 = jnp.dot(d2 - d1, U[2], preferred_element_type=ACC_DTYPE)
+        m3 = jnp.dot(d1 - d3, U[3], preferred_element_type=ACC_DTYPE)
         outs[r0] = m0 + m1 + m2
         outs[r1] = m1 - m2 - m3
     return outs
@@ -513,7 +596,6 @@ def _conv3_wino4_groups(planes, a_vals: int, U, *, step: int, a_out: int,
     outs = [None] * 12
     groups = ([(0, 1, 2, 3), (4, 5, 6, 7), (8, 9, 10, 11)] if step == 1
               else [(0, 3, 6, 9), (1, 4, 7, 10), (2, 5, 8, 11)])
-    f32 = jnp.float32
     for grp in groups:
         r0 = grp[0]
         d = [_tap(planes, a_vals, r0, (k - 1) * step, a_out, L)
@@ -525,7 +607,7 @@ def _conv3_wino4_groups(planes, a_vals: int, U, *, step: int, a_out: int,
         t3 = -2.0 * d[1] - d[2] + 2.0 * d[3] + d[4]
         t4 = 2.0 * d[1] - d[2] - 2.0 * d[3] + d[4]
         t5 = 4.0 * d[1] - 5.0 * d[3] + d[5]
-        m = [jnp.dot(t, U[k], preferred_element_type=f32)
+        m = [jnp.dot(t, U[k], preferred_element_type=ACC_DTYPE)
              for k, t in enumerate((t0, t1, t2, t3, t4, t5))]
         # AT m (output transform)
         outs[grp[0]] = m[0] + m[1] + m[2] + m[3] + m[4]
@@ -544,31 +626,43 @@ def _conv3_front_planes(planes, a_vals: int, w, *, a_out: int, L: int):
         for k in range(3):
             tap = _tap(planes, a_vals, r, k - 1, a_out, L)
             if cin >= 8:
-                o = jnp.dot(tap, w[k], preferred_element_type=jnp.float32)
+                o = jnp.dot(tap, w[k], preferred_element_type=ACC_DTYPE)
             else:
                 o = None
                 for c in range(cin):
-                    t_ = (tap[:, c:c + 1].astype(jnp.float32)
-                          * w[k][c].astype(jnp.float32)[None, :])
+                    t_ = (tap[:, c:c + 1].astype(ACC_DTYPE)
+                          * w[k][c].astype(ACC_DTYPE)[None, :])
                     o = t_ if o is None else o + t_
             acc = o if acc is None else acc + o
         outs.append(acc)
     return outs
 
 
-def _mask_planes(planes, a: int, row0_win, T: int):
+def _mask_planes(planes, a: int, row0_win, T: int, edge=None):
     """Zero plane rows whose global position is outside [0, T).
-    row0_win = global position of window row 0 (traced scalar)."""
-    out = []
+    row0_win = global position of window row 0 (traced scalar).
+    ``edge`` gates the work exactly like _mask_valid."""
     P = len(planes)
-    for r, x in enumerate(planes):
-        pos = (row0_win + P * a + r
-               + P * jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0))
-        out.append(jnp.where((pos >= 0) & (pos < T), x, jnp.zeros_like(x)))
-    return out
+
+    def do(planes):
+        out = []
+        for r, x in enumerate(planes):
+            pos = (row0_win + P * a + r
+                   + P * jax.lax.broadcasted_iota(jnp.int32,
+                                                  (x.shape[0], 1), 0))
+            out.append(jnp.where((pos >= 0) & (pos < T), x,
+                                 jnp.zeros_like(x)))
+        return tuple(out)
+
+    if _NO_MASK:
+        return list(planes)
+    if edge is None:
+        return list(do(tuple(planes)))
+    return list(jax.lax.cond(edge, do, lambda t: t, tuple(planes)))
 
 
 def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win, T: int,
+                       edge=None,
                        front_w, front_b, kfg, cond_w, cond_b, res_w, res_b,
                        skip_w, skip_b, fin_w, fin_b, zw, zb, dtype):
     """Plane-space coupling net.  x_pl: P planes at region start x_a;
@@ -579,7 +673,7 @@ def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win, T: int,
     kfg[l] has 4 G-transformed taps for F(2,3), 6 for F(4,3).
     ``cond_w=None`` = hoisted conditioning: c_pl holds the precomputed
     per-layer pre-activations (layer0 || layer1 on channels)."""
-    f32 = jnp.float32
+    acc = ACC_DTYPE
     P = len(x_pl)
     conv = _conv3_wino_pairs if kfg.shape[1] == 4 else _conv3_wino4_groups
     w2r = kfg.shape[-1]
@@ -588,9 +682,9 @@ def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win, T: int,
     L0, L1, L2 = Lp - 2 * a0, Lp - 2 * a1, Lp - 2 * a2
 
     h0 = _conv3_front_planes(x_pl, x_a, front_w, a_out=a0, L=L0)
-    h0 = [jnp.maximum(h + front_b.astype(f32), 0.0).astype(dtype)
+    h0 = [jnp.maximum(h + front_b.astype(acc), 0.0).astype(dtype)
           for h in h0]
-    h0 = _mask_planes(h0, a0, row0_win, T)
+    h0 = _mask_planes(h0, a0, row0_win, T, edge)
 
     # layer 0 (d=1)
     fg0 = conv(h0, a0, kfg[0], step=1, a_out=a1, L=L1)
@@ -599,18 +693,18 @@ def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win, T: int,
     for q in range(P):
         c_sl = jax.lax.slice_in_dim(c_pl[q], a1, a1 + L1, axis=0)
         if cond_w is None:
-            fg = fg0[q] + c_sl[:, :w2r].astype(f32)
+            fg = fg0[q] + c_sl[:, :w2r].astype(acc)
         else:
             fg = fg0[q] + jnp.dot(c_sl, cond_w[0],
-                                  preferred_element_type=f32)
-        fg = (fg + cond_b[0].astype(f32)).astype(GATE_DTYPE)
-        g = (jnp.tanh(fg[:, :r]) * jax.nn.sigmoid(fg[:, r:])).astype(dtype)
+                                  preferred_element_type=acc)
+        fg = fg + cond_b[0].astype(acc)
+        g = _gated(fg, r, dtype)
         gated0.append(g)
-        res0 = jnp.dot(g, res_w, preferred_element_type=f32)
+        res0 = jnp.dot(g, res_w, preferred_element_type=acc)
         h0_mid = jax.lax.slice_in_dim(h0[q], 1, 1 + L1, axis=0)
-        h1.append(((h0_mid.astype(f32) + res0 + res_b.astype(f32))
+        h1.append(((h0_mid.astype(acc) + res0 + res_b.astype(acc))
                    * SQRT_HALF).astype(dtype))
-    h1 = _mask_planes(h1, a1, row0_win, T)
+    h1 = _mask_planes(h1, a1, row0_win, T, edge)
 
     # layer 1 (d=3)
     fg1 = conv(h1, a1, kfg[1], step=3, a_out=a2, L=L2)
@@ -618,22 +712,23 @@ def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win, T: int,
     for q in range(P):
         c_sl = jax.lax.slice_in_dim(c_pl[q], a2, a2 + L2, axis=0)
         if cond_w is None:
-            fg = fg1[q] + c_sl[:, w2r:].astype(f32)
+            fg = fg1[q] + c_sl[:, w2r:].astype(acc)
         else:
             fg = fg1[q] + jnp.dot(c_sl, cond_w[1],
-                                  preferred_element_type=f32)
-        fg = (fg + cond_b[1].astype(f32)).astype(GATE_DTYPE)
-        g1 = (jnp.tanh(fg[:, :r]) * jax.nn.sigmoid(fg[:, r:])).astype(dtype)
+                                  preferred_element_type=acc)
+        fg = fg + cond_b[1].astype(acc)
+        g1 = _gated(fg, r, dtype)
         sk0 = jnp.dot(jax.lax.slice_in_dim(gated0[q], 1, 1 + L2, axis=0),
-                      skip_w[0], preferred_element_type=f32)
-        sk = (sk0 + skip_b[0].astype(f32)
-              + jnp.dot(g1, skip_w[1], preferred_element_type=f32)
-              + skip_b[1].astype(f32))
+                      skip_w[0], preferred_element_type=acc)
+        sk = (sk0 + skip_b[0].astype(acc)
+              + jnp.dot(g1, skip_w[1], preferred_element_type=acc)
+              + skip_b[1].astype(acc))
         out = jnp.maximum(sk, 0.0).astype(dtype)
-        out = jnp.dot(out, fin_w, preferred_element_type=f32)
-        out = jnp.maximum(out + fin_b.astype(f32), 0.0).astype(dtype)
-        net.append(jnp.dot(out, zw, preferred_element_type=f32)
-                   + zb.astype(f32))
+        out = jnp.dot(out, fin_w, preferred_element_type=acc)
+        out = jnp.maximum(out + fin_b.astype(acc), 0.0).astype(dtype)
+        # fp32 for the downstream affine exp/update regardless of ACC_DTYPE
+        net.append(jnp.dot(out, zw, preferred_element_type=jnp.float32)
+                   + zb.astype(jnp.float32))
     return net
 
 
@@ -646,7 +741,9 @@ def _pair_kernel_wino(u_ref, v_ref, ca_ref, cb_ref, front_w, front_b, kfg,
     dtype = u_out.dtype
     P = u_ref.shape[2]                 # phase planes: 6=F(2,3), 12=F(4,3)
     halo = 6 * P                       # 6 plane rows each side
-    row0_win = (g % n_t) * t_tile - halo
+    ti = g % n_t
+    row0_win = ti * t_tile - halo
+    edge = None  # lax.cond gating measured slower; see _pair_kernel
 
     u_pl = [u_ref[0, 0, q] for q in range(P)]
     v_pl = [v_ref[0, 0, q] for q in range(P)]
@@ -664,7 +761,7 @@ def _pair_kernel_wino(u_ref, v_ref, ca_ref, cb_ref, front_w, front_b, kfg,
 
     # couple(odd): u' = u*exp(log_s(v)) + t(v) at region a=3
     net = _coupling_net_wino(v_pl, 0, cb_pl, a_h0=1, row0_win=row0_win,
-                             T=T, dtype=dtype, **flow_w(1))
+                             T=T, edge=edge, dtype=dtype, **flow_w(1))
     a_mid, L_mid = 3, Lp - 6
     u_mid = []
     for q in range(P):
@@ -674,12 +771,12 @@ def _pair_kernel_wino(u_ref, v_ref, ca_ref, cb_ref, front_w, front_b, kfg,
         # actnorm reverse (odd), u half1
         um = um * an_s[1, 1].astype(f32) - an_b[1, 1].astype(f32)
         u_mid.append(um.astype(dtype))
-    u_mid = _mask_planes(u_mid, a_mid, row0_win, T)
+    u_mid = _mask_planes(u_mid, a_mid, row0_win, T, edge)
 
     # couple(even): v' = v*exp(log_s(u')) + t(u') at region a=6
     net2 = _coupling_net_wino(u_mid, a_mid, ca_pl, a_h0=4,
-                              row0_win=row0_win, T=T, dtype=dtype,
-                              **flow_w(0))
+                              row0_win=row0_win, T=T, edge=edge,
+                              dtype=dtype, **flow_w(0))
     a_out, L_out = 6, Lp - 12
     for q in range(P):
         v_sl = jax.lax.slice_in_dim(v_pl[q], a_out, a_out + L_out, axis=0)
@@ -775,8 +872,12 @@ def fused_pair_reverse_wino(u, v, c_a, c_b, operands, *, interpret=False,
     n_t = -(-T // t_tile)
     T_pad = n_t * t_tile
 
-    uw, vw, caw, cbw = (_windows_wino(x, t_tile, n_t, T_pad, P, halo)
-                        for x in (u, v, c_a, c_b))
+    uw, vw = (_windows_wino(x, t_tile, n_t, T_pad, P, halo)
+              for x in (u, v))
+    if c_a.ndim == 3:   # see fused_pair_reverse: pre-window c once/block
+        c_a = _windows_wino(c_a, t_tile, n_t, T_pad, P, halo)
+        c_b = _windows_wino(c_b, t_tile, n_t, T_pad, P, halo)
+    caw, cbw = c_a, c_b
     Cc = c_a.shape[-1]
     win = t_tile + 2 * halo
     Lp = win // P
