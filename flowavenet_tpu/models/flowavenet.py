@@ -418,27 +418,22 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c, g):
             else:
                 # Winograd (F(4,3) 12-phase / F(2,3) 6-phase) for the
                 # narrow-cond blocks; direct-conv kernel otherwise
-                # (docs/benchmarks.md).  c is constant across the block's
-                # pairs, so its (de-interleaved) windows are built ONCE
-                # here instead of per pair (~9 GB of HBM round trips per
-                # early block at synthesis shapes).
-                T = u.shape[1]
+                # (docs/benchmarks.md).
+                # NOTE: pre-windowing c once per block (it is pair-constant)
+                # saves ~9 GB of HBM round trips per early block but keeps
+                # a second full-size c copy live for the whole block (raw c
+                # must survive for the closing unsqueeze) — measured HBM
+                # OOM at the b96 x 4s bench shape, so windows stay per-pair.
                 if mode == "wino4":
                     make_ops = pf.pair_reverse_operands_wino4
                     run = functools.partial(pf.fused_pair_reverse_wino,
                                             phases=12)
-                    c_a = pf.pair_reverse_window_c_wino(c_a, T, phases=12)
-                    c_b = pf.pair_reverse_window_c_wino(c_b, T, phases=12)
                 elif mode == "wino":
                     make_ops = pf.pair_reverse_operands_wino
                     run = pf.fused_pair_reverse_wino
-                    c_a = pf.pair_reverse_window_c_wino(c_a, T)
-                    c_b = pf.pair_reverse_window_c_wino(c_b, T)
                 else:
                     make_ops = pf.pair_reverse_operands
                     run = pf.fused_pair_reverse
-                    c_a = pf.pair_reverse_window_c(c_a, T)
-                    c_b = pf.pair_reverse_window_c(c_b, T)
                 for i in reversed(range(n_pair)):
                     pair = jax.tree.map(lambda l, _i=i: l[_i], pp)
                     u, v = run(u, v, c_a, c_b,

@@ -510,7 +510,7 @@ def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
 # 160 plane rows = t_tile.
 # ===========================================================================
 
-WINO_T_TILE = 1920
+WINO_T_TILE = int(_os.environ.get("FWN_WINO_TT", "960"))
 WINO_HALO = 36
 
 # F(4,3) (12-phase) variant: 6 multiplies per 4 outputs = 2x fewer MXU

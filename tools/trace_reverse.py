@@ -43,6 +43,9 @@ def main() -> None:
 
     params = jax.jit(lambda k: init_flowavenet(k, cfg.model))(
         jax.random.PRNGKey(0))
+    # bf16 tree: the fp32 master tree costs 362 MB of HBM headroom
+    # (see bench.py) and synthesis computes in bf16 anyway
+    params = jax.tree.map(lambda l: l.astype(jnp.bfloat16), params)
 
     @jax.jit
     def synth(params, seed):
