@@ -25,13 +25,15 @@ from __future__ import annotations
 
 import functools
 import math
+import os as _os
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..ops.squeeze import change_order, squeeze, unsqueeze
+from ..ops.squeeze import (change_order, squeeze, squeeze_to_level,
+                           unsqueeze)
 from .modules import apply_wavenet, init_wavenet
 from .upsample import apply_upsample, init_upsample
 
@@ -270,11 +272,11 @@ PAIR_KERNEL_CPU_INTERPRET = False
 # F(2,3): 1.5x fewer MXU FLOPs on the dominant filter|gate convs;
 # F(4,3) (12-phase planes): 2x fewer.  PAIR_KERNEL_WINO4 picks F(4,3)
 # where Winograd routes at all.
-PAIR_KERNEL_WINO = True
+PAIR_KERNEL_WINO = bool(int(_os.environ.get("FWN_WINO", "1")))
 # F(4,3) measured SLOWER than F(2,3) at production tiles (b96 x 4s:
 # block 1 300 vs 265 ms) — per-phase matmul M halves, MXU pipeline
 # fill/drain dominates.  Off pending larger-tile tuning.
-PAIR_KERNEL_WINO4 = False
+PAIR_KERNEL_WINO4 = bool(int(_os.environ.get("FWN_WINO4", "0")))
 PAIR_KERNEL_WINO_MAX_CC = 320
 
 # Hoisted-conditioning pair kernel for the deep blocks.  Measured at
@@ -374,15 +376,36 @@ def _flow_step_rev(cfg: ModelConfig, has_g: bool, use_pallas: bool = False):
     return step
 
 
-def block_reverse(p: dict, cfg: ModelConfig, x, c, g):
+def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
+                  unsqueeze_cond: bool = True, c_halves=None,
+                  g_halves=None):
     """Inverse of block_forward on already-squeezed tensors; unsqueezes at
-    the end (model.py:249-277)."""
-    has_g = g is not None
+    the end (model.py:249-277).
+
+    ``unsqueeze_cond=False`` skips unsqueezing c/g (returned as None):
+    ``reverse`` extracts each block's conditioning directly from the
+    upsampled mel with ``squeeze_to_level`` instead of threading c through
+    the blocks, halving the full-tensor transpose copies.
+
+    ``c_halves=(c_a, c_b)`` supplies the coupling halves pre-split (the
+    half split commutes with squeezing: half A at EVERY level is exactly
+    the lower num_mels/2 mel bins, so ``reverse`` splits the upsampled mel
+    once instead of copying per level); mutually exclusive with ``c``."""
+    if c_halves is not None:
+        assert c is None and not unsqueeze_cond, \
+            "c_halves replaces c and implies unsqueeze_cond=False"
+        has_g = g_halves is not None
+    else:
+        has_g = g is not None
 
     if cfg.n_flow % 2 == 0:
         u, v = jnp.split(x, 2, axis=2)
-        c_a, c_b = jnp.split(c, 2, axis=2)
-        g_a, g_b = jnp.split(g, 2, axis=2) if has_g else (None, None)
+        if c_halves is not None:
+            c_a, c_b = c_halves
+            g_a, g_b = g_halves if has_g else (None, None)
+        else:
+            c_a, c_b = jnp.split(c, 2, axis=2)
+            g_a, g_b = jnp.split(g, 2, axis=2) if has_g else (None, None)
         mode = _pair_kernel_mode(cfg, c_a.shape[-1], has_g)
         if mode is not None:
             from ..ops import pallas_flow as pf
@@ -445,6 +468,9 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c, g):
                 _pair_params(p), reverse=True)
         x = jnp.concatenate([u, v], axis=2)
     else:
+        if c_halves is not None:  # generic path wants the full tensor
+            c = jnp.concatenate(c_halves, axis=2)
+            g = jnp.concatenate(g_halves, axis=2) if has_g else None
         carry = (x, c, g) if has_g else (x, c)
         carry, _ = jax.lax.scan(_flow_step_rev(cfg, has_g), carry,
                                 p["flows"], reverse=True)
@@ -452,7 +478,10 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c, g):
             x, c, g = carry
         else:
             x, c = carry
-    x, c = unsqueeze(x), unsqueeze(c)
+    x = unsqueeze(x)
+    if not unsqueeze_cond:
+        return x, None, None
+    c = unsqueeze(c)
     g = unsqueeze(g) if has_g else None
     return x, c, g
 
@@ -591,19 +620,44 @@ def reverse(params: dict, cfg: ModelConfig, z: jax.Array, c: jax.Array,
             g: Optional[jax.Array] = None, compute_dtype=jnp.float32
             ) -> jax.Array:
     """One-shot synthesis: z [B, T, 1] noise -> audio [B, T, 1]
-    (model.py:350-396).  All squeezes are applied up front, then blocks run
-    in reverse order, each unsqueezing once."""
+    (model.py:350-396).  x is squeezed to the deepest level up front; each
+    block's conditioning is extracted DIRECTLY from the upsampled mel at
+    that block's level (one gather) instead of the reference's
+    squeeze-down-8x-then-unsqueeze-up-8x chain — identical values
+    (ops/squeeze.py:squeeze_to_level), ~16 fewer full-tensor transposes."""
     _check_shapes(cfg, z, c)
     z = z.astype(compute_dtype)
     c, g_emb = _prepare_cond(params, cfg, c, g, compute_dtype)
 
-    x = z
-    for _ in range(cfg.n_block):
-        x, c = squeeze(x), squeeze(c)
-        g_emb = squeeze(g_emb) if g_emb is not None else None
+    # The coupling half split commutes with squeezing ONLY when the
+    # pre-squeeze channel count is even (then half A at every level == the
+    # lower num_mels/2 mel bins): split once here, extract per block.
+    gin = g_emb.shape[-1] if g_emb is not None else 0
+    fast_split = cfg.num_mels % 2 == 0 and gin % 2 == 0
 
-    for bp in reversed(params["blocks"]):
-        x, c, g_emb = block_reverse(bp, cfg, x, c, g_emb)
+    x = squeeze_to_level(z, cfg.n_block)
+    if fast_split:
+        c_lo, c_hi = jnp.split(c, 2, axis=2)
+        g_lo, g_hi = (jnp.split(g_emb, 2, axis=2) if g_emb is not None
+                      else (None, None))
+        for bi in reversed(range(cfg.n_block)):
+            k = bi + 1
+            c_halves = (squeeze_to_level(c_lo, k),
+                        squeeze_to_level(c_hi, k))
+            g_halves = ((squeeze_to_level(g_lo, k),
+                         squeeze_to_level(g_hi, k))
+                        if g_emb is not None else None)
+            x, _, _ = block_reverse(params["blocks"][bi], cfg, x,
+                                    unsqueeze_cond=False,
+                                    c_halves=c_halves, g_halves=g_halves)
+        return x
+
+    for bi in reversed(range(cfg.n_block)):
+        k = bi + 1
+        c_k = squeeze_to_level(c, k)
+        g_k = squeeze_to_level(g_emb, k) if g_emb is not None else None
+        x, _, _ = block_reverse(params["blocks"][bi], cfg, x, c_k, g_k,
+                                unsqueeze_cond=False)
     return x
 
 

@@ -519,7 +519,7 @@ WINO_HALO = 36
 # and d=3 (r, r+3, r+6, r+9) stay full-sublane shifted slices.  The chain
 # still consumes +-1 plane row per conv stage, but plane rows are 12
 # samples, so the halo is 72 samples.
-WINO4_T_TILE = 1920
+WINO4_T_TILE = int(_os.environ.get("FWN_WINO4_TT", "1920"))
 WINO4_HALO = 72
 
 

@@ -32,6 +32,40 @@ def squeeze_n(x, n: int):
     return x
 
 
+def _bitrev_perm(k: int) -> list[int]:
+    """Bit-reversal permutation of [0, 2**k)."""
+    return [int(format(i, f"0{k}b")[::-1], 2) if k else 0
+            for i in range(1 << k)]
+
+
+def squeeze_to_level(x, k: int):
+    """``squeeze_n(x, k)`` computed as ONE gather instead of k chained
+    transposes.
+
+    The composed reference layout is closed-form: level-k channel
+    ``2**k * c + bitrev_k(delta)`` takes input ``(t = 2**k * t_k + delta,
+    c)`` — each squeeze peels the current LSB of the time offset into the
+    channel MSBs (model.py:224-228 applied k times; equality is covered by
+    tests/test_primitives.py).  The reverse pass uses this to build each
+    block's conditioning directly from the upsampled mel: the chained
+    squeeze-down/unsqueeze-up pyramid cost ~16 full-tensor transposes
+    (~90 ms at b96 x 4 s synthesis, per the profiler trace); this is one
+    copy per block.
+    """
+    if k == 0:
+        return x
+    b, t, c = x.shape
+    p = 1 << k
+    # Factor the time offset into k bit-dims (axis 2 = MSB ... axis k+1 =
+    # LSB) and express the bit reversal as ONE transpose — a gather here
+    # lowers much worse on TPU.  Target channel order (major to minor):
+    # m, p1(=LSB), p2, ..., pk.
+    v = x.reshape((b, t // p) + (2,) * k + (c,))
+    perm = (0, 1, k + 2) + tuple(range(k + 1, 1, -1))
+    v = v.transpose(perm)
+    return v.reshape(b, t // p, c * p)
+
+
 def change_order(x):
     """Swap channel halves between flows (model.py:166-174). Involution."""
     a, b = jnp.split(x, 2, axis=2)

@@ -13,7 +13,8 @@ from flowavenet_tpu.models.flowavenet import (
     actnorm_ddi, actnorm_forward, actnorm_reverse, coupling_forward,
     coupling_reverse)
 from flowavenet_tpu.models.modules import init_wavenet
-from flowavenet_tpu.ops.squeeze import change_order, squeeze, unsqueeze
+from flowavenet_tpu.ops.squeeze import (change_order, squeeze,
+                                        squeeze_to_level, unsqueeze)
 
 
 def test_squeeze_layout():
@@ -26,6 +27,17 @@ def test_squeeze_layout():
         for c in range(C):
             for p in range(2):
                 assert y[0, t2, 2 * c + p] == x[0, 2 * t2 + p, c]
+
+
+def test_squeeze_to_level_matches_chain(rng):
+    """One-gather level extraction == k chained squeezes (the reverse
+    pass's conditioning path relies on this closed form)."""
+    x = np.asarray(rng.randn(2, 64, 3), np.float32)
+    y = x
+    for k in range(1, 5):
+        y = np.asarray(squeeze(y))
+        np.testing.assert_array_equal(np.asarray(squeeze_to_level(x, k)), y)
+    np.testing.assert_array_equal(np.asarray(squeeze_to_level(x, 0)), x)
 
 
 def test_squeeze_roundtrip(rng):
