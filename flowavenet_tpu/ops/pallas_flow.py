@@ -225,7 +225,15 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
     return net + zb.astype(jnp.float32)
 
 
-def _pair_kernel(u_ref, v_ref, ca_ref, cb_ref, front_w, front_b, kfg,
+def _win_cat(tile_ref, halo_ref, halo: int):
+    """[left-halo | tile | right-halo] assembled in VMEM."""
+    t = tile_ref[0, 0]
+    h = halo_ref[0, 0]
+    return jnp.concatenate([h[:halo], t, h[halo:]], axis=0)
+
+
+def _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref, cbt_ref,
+                 cbh_ref, front_w, front_b, kfg,
                  cond_w, cond_b, res_w, res_b, skip_w, skip_b, fin_w, fin_b,
                  zw, zb, an_s, an_b, u_out, v_out,
                  *, t_tile: int, n_t: int, T: int):
@@ -233,9 +241,10 @@ def _pair_kernel(u_ref, v_ref, ca_ref, cb_ref, front_w, front_b, kfg,
     f32 = jnp.float32
 
     dtype = u_out.dtype
-    u = u_ref[0, 0]                   # [win, R_in]; row j = position j-HALO
-    v = v_ref[0, 0]
-    ca, cb = ca_ref[0, 0], cb_ref[0, 0]
+    u = _win_cat(ut_ref, uh_ref, HALO)  # [win, R_in]; row j = pos j-HALO
+    v = _win_cat(vt_ref, vh_ref, HALO)
+    ca = _win_cat(cat_ref, cah_ref, HALO)
+    cb = _win_cat(cbt_ref, cbh_ref, HALO)
     r_in = u.shape[-1]
 
     def flow_w(i):
@@ -283,13 +292,15 @@ def _pair_kernel(u_ref, v_ref, ca_ref, cb_ref, front_w, front_b, kfg,
     v_out[0] = v_fin.astype(dtype)
 
 
-def _pair_kernel_hoisted(u_ref, v_ref, ce_ref, co_ref, front_w, front_b,
+def _pair_kernel_hoisted(ut_ref, uh_ref, vt_ref, vh_ref, cet_ref, ceh_ref,
+                         cot_ref, coh_ref, front_w, front_b,
                          kfg, cond_b, res_w, res_b, skip_w, skip_b, fin_w,
                          fin_b, zw, zb, an_s, an_b, u_out, v_out,
                          *, t_tile: int, n_t: int, T: int):
     """Hoisted-conditioning variant: ce/co are the precomputed per-layer
     conditioning pre-activations (even/odd flow), not raw c."""
-    _pair_kernel(u_ref, v_ref, ce_ref, co_ref, front_w, front_b, kfg,
+    _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cet_ref, ceh_ref, cot_ref,
+                 coh_ref, front_w, front_b, kfg,
                  None, cond_b, res_w, res_b, skip_w, skip_b, fin_w, fin_b,
                  zw, zb, an_s, an_b, u_out, v_out,
                  t_tile=t_tile, n_t=n_t, T=T)
@@ -377,40 +388,43 @@ def pair_reverse_operands_hoisted(pair: dict, dtype=jnp.bfloat16):
     return tuple(ops), (hoist[0], hoist[1])
 
 
-def _windows(x, t_tile: int, n_t: int, T_pad: int):
-    """Overlapping per-tile windows [B, n_t, t_tile + 2*HALO, C].
+def _tiles_and_halos(x, t_tile: int, n_t: int, T_pad: int, halo: int):
+    """Non-overlapping tiles (a free reshape VIEW of x) + per-tile halo
+    slivers [B, n_t, 2*halo, C] (a ~2*halo/t_tile-sized copy).
 
-    Materializing the ~(1 + 2*HALO/t_tile)x duplicated windows in HBM lets
-    the kernel use the standard Pallas pipeline (automatic double-buffered
-    block DMA) instead of manual async copies — manual HBM slices require
-    128-lane-aligned shapes and cannot stream the 1-16 channel u/v tensors
-    of the early blocks.
-    """
-    T = x.shape[1]
-    xp = jnp.pad(x, ((0, 0), (HALO, T_pad - T + HALO), (0, 0)))
-    win = t_tile + 2 * HALO
-    return jnp.stack(
-        [jax.lax.slice_in_dim(xp, ti * t_tile, ti * t_tile + win, axis=1)
-         for ti in range(n_t)], axis=1)
-
-
-def pair_reverse_window_c(c, T: int, *, t_tile: int = 1024):
-    """Pre-window a block-constant conditioning tensor for
-    fused_pair_reverse (call once per block, reuse across pairs)."""
-    t_tile = min(t_tile, -(-T // 16) * 16)
-    n_t = -(-T // t_tile)
-    return _windows(c, t_tile, n_t, n_t * t_tile)
+    Replaces overlapping-window materialization: the kernel concatenates
+    [left-halo | tile | right-halo] in VMEM.  Requires t_tile >= halo and
+    t_tile % halo-alignment handled by callers."""
+    B, T, C = x.shape
+    xp = x if T == T_pad else jnp.pad(x, ((0, 0), (0, T_pad - T), (0, 0)))
+    tiles = xp.reshape(B, n_t, t_tile, C)
+    z = jnp.zeros((B, 1, halo, C), x.dtype)
+    if n_t > 1:
+        lefts = jnp.concatenate(
+            [z, tiles[:, :-1, t_tile - halo:, :]], axis=1)
+        rights = jnp.concatenate([tiles[:, 1:, :halo, :], z], axis=1)
+    else:
+        lefts = rights = z
+    return tiles, jnp.concatenate([lefts, rights], axis=2)
 
 
-def pair_reverse_window_c_wino(c, T: int, *, phases: int = 6):
-    """Pre-window + de-interleave conditioning for
-    fused_pair_reverse_wino."""
-    P = phases
-    halo = 6 * P
-    base_tile = WINO_T_TILE if P == 6 else WINO4_T_TILE
-    t_tile = min(base_tile, max(4 * P, -(-T // 48) * 48))
-    n_t = -(-T // t_tile)
-    return _windows_wino(c, t_tile, n_t, n_t * t_tile, P, halo)
+def _tiles_and_halos_wino(x, t_tile: int, n_t: int, T_pad: int, P: int,
+                          halo: int):
+    """Plane de-interleaved tiles [B, n_t, P, t_tile/P, C] (one transpose)
+    + halo slivers [B, n_t, P, 2*halo/P, C].  Phase alignment holds because
+    t_tile % P == 0 and halo % P == 0 (global phase == tile-local phase)."""
+    B, T, C = x.shape
+    xp = x if T == T_pad else jnp.pad(x, ((0, 0), (0, T_pad - T), (0, 0)))
+    v = xp.reshape(B, n_t, t_tile // P, P, C)
+    v = jnp.transpose(v, (0, 1, 3, 2, 4))        # [B, n_t, P, tt/P, C]
+    hr = halo // P
+    z = jnp.zeros((B, 1, P, hr, C), x.dtype)
+    if n_t > 1:
+        lefts = jnp.concatenate([z, v[:, :-1, :, -hr:, :]], axis=1)
+        rights = jnp.concatenate([v[:, 1:, :, :hr, :], z], axis=1)
+    else:
+        lefts = rights = z
+    return v, jnp.concatenate([lefts, rights], axis=3)
 
 
 def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
@@ -424,20 +438,15 @@ def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
     cond_w."""
     B, T, R_in = u.shape
     dtype = u.dtype
-    t_tile = min(t_tile, -(-T // 16) * 16)
+    t_tile = max(HALO, min(t_tile, -(-T // 16) * 16))
     n_t = -(-T // t_tile)
     T_pad = n_t * t_tile
 
-    uw, vw = (_windows(x, t_tile, n_t, T_pad) for x in (u, v))
-    # c is constant across a block's pairs: callers pre-window it once
-    # (4-D [B, n_t, win, Cc]) instead of paying the windowing HBM round
-    # trip per pair (~9 GB/block at block-0 synthesis shapes).
-    if c_a.ndim == 3:
-        c_a = _windows(c_a, t_tile, n_t, T_pad)
-        c_b = _windows(c_b, t_tile, n_t, T_pad)
-    caw, cbw = c_a, c_b
+    ut, uh = _tiles_and_halos(u, t_tile, n_t, T_pad, HALO)
+    vt, vh = _tiles_and_halos(v, t_tile, n_t, T_pad, HALO)
+    cat, cah = _tiles_and_halos(c_a, t_tile, n_t, T_pad, HALO)
+    cbt, cbh = _tiles_and_halos(c_b, t_tile, n_t, T_pad, HALO)
     Cc = c_a.shape[-1]
-    win = t_tile + 2 * HALO
 
     kernel = functools.partial(
         _pair_kernel_hoisted if hoisted else _pair_kernel,
@@ -450,6 +459,14 @@ def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
     def out_map(g):
         return (g // n_t, g % n_t, 0)
 
+    def tile_spec(C):
+        return pl.BlockSpec((1, 1, t_tile, C), in_map,
+                            memory_space=pltpu.VMEM)
+
+    def halo_spec(C):
+        return pl.BlockSpec((1, 1, 2 * HALO, C), in_map,
+                            memory_space=pltpu.VMEM)
+
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     cond_flops = 0 if hoisted else 2 * Cc * 512
     flops_net = 2 * T * (2 * 3 * 256 * 512 + cond_flops + 2 * 256 * 256
@@ -458,10 +475,10 @@ def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, win, R_in), in_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, win, R_in), in_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, win, Cc), in_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, win, Cc), in_map, memory_space=pltpu.VMEM),
+            tile_spec(R_in), halo_spec(R_in),
+            tile_spec(R_in), halo_spec(R_in),
+            tile_spec(Cc), halo_spec(Cc),
+            tile_spec(Cc), halo_spec(Cc),
         ] + [wspec] * len(operands),
         out_specs=[
             pl.BlockSpec((1, t_tile, R_in), out_map,
@@ -472,14 +489,14 @@ def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
         out_shape=[jax.ShapeDtypeStruct((B, T_pad, R_in), dtype)] * 2,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * flops_net,
-            bytes_accessed=(uw.size + vw.size + caw.size + cbw.size
+            bytes_accessed=(ut.size + vt.size + cat.size + cbt.size
                             + 2 * B * T_pad * R_in) * dtype.itemsize,
             transcendentals=2 * B * T * 512 * 2,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
-    )(uw, vw, caw, cbw, *operands)
+    )(ut, uh, vt, vh, cat, cah, cbt, cbh, *operands)
     if T_pad != T:
         u2, v2 = u2[:, :T], v2[:, :T]
     return u2, v2
@@ -732,23 +749,33 @@ def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win, T: int,
     return net
 
 
-def _pair_kernel_wino(u_ref, v_ref, ca_ref, cb_ref, front_w, front_b, kfg,
+def _win_cat_planes(tile_ref, halo_ref, P: int, hr: int):
+    """Per-phase [left-halo | tile | right-halo] planes from plane-ified
+    tile + halo refs ([1, 1, P, rows, C])."""
+    return [jnp.concatenate([halo_ref[0, 0, q, :hr],
+                             tile_ref[0, 0, q],
+                             halo_ref[0, 0, q, hr:]], axis=0)
+            for q in range(P)]
+
+
+def _pair_kernel_wino(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
+                      cbt_ref, cbh_ref, front_w, front_b, kfg,
                       cond_w, cond_b, res_w, res_b, skip_w, skip_b, fin_w,
                       fin_b, zw, zb, an_s, an_b, u_out, v_out,
                       *, t_tile: int, n_t: int, T: int):
     g = pl.program_id(0)
     f32 = jnp.float32
     dtype = u_out.dtype
-    P = u_ref.shape[2]                 # phase planes: 6=F(2,3), 12=F(4,3)
+    P = ut_ref.shape[2]                # phase planes: 6=F(2,3), 12=F(4,3)
     halo = 6 * P                       # 6 plane rows each side
     ti = g % n_t
     row0_win = ti * t_tile - halo
     edge = None  # lax.cond gating measured slower; see _pair_kernel
 
-    u_pl = [u_ref[0, 0, q] for q in range(P)]
-    v_pl = [v_ref[0, 0, q] for q in range(P)]
-    ca_pl = [ca_ref[0, 0, q] for q in range(P)]
-    cb_pl = [cb_ref[0, 0, q] for q in range(P)]
+    u_pl = _win_cat_planes(ut_ref, uh_ref, P, 6)
+    v_pl = _win_cat_planes(vt_ref, vh_ref, P, 6)
+    ca_pl = _win_cat_planes(cat_ref, cah_ref, P, 6)
+    cb_pl = _win_cat_planes(cbt_ref, cbh_ref, P, 6)
     r_in = u_pl[0].shape[-1]
     Lp = u_pl[0].shape[0]
 
@@ -792,14 +819,16 @@ def _pair_kernel_wino(u_ref, v_ref, ca_ref, cb_ref, front_w, front_b, kfg,
         v_out[0, 0, q] = v_fin.astype(dtype)
 
 
-def _pair_kernel_wino_hoisted(u_ref, v_ref, ce_ref, co_ref, front_w,
+def _pair_kernel_wino_hoisted(ut_ref, uh_ref, vt_ref, vh_ref, cet_ref,
+                              ceh_ref, cot_ref, coh_ref, front_w,
                               front_b, kfg, cond_b, res_w, res_b, skip_w,
                               skip_b, fin_w, fin_b, zw, zb, an_s, an_b,
                               u_out, v_out, *, t_tile: int, n_t: int,
                               T: int):
     """Hoisted-conditioning Winograd variant: ce/co are precomputed cond
     pre-activation planes (even/odd flow), not raw c."""
-    _pair_kernel_wino(u_ref, v_ref, ce_ref, co_ref, front_w, front_b, kfg,
+    _pair_kernel_wino(ut_ref, uh_ref, vt_ref, vh_ref, cet_ref, ceh_ref,
+                      cot_ref, coh_ref, front_w, front_b, kfg,
                       None, cond_b, res_w, res_b, skip_w, skip_b, fin_w,
                       fin_b, zw, zb, an_s, an_b, u_out, v_out,
                       t_tile=t_tile, n_t=n_t, T=T)
@@ -841,19 +870,6 @@ def pair_reverse_operands_wino4(pair: dict, dtype=jnp.bfloat16,
     return tuple(ops), (hoist[0], hoist[1])
 
 
-def _windows_wino(x, t_tile: int, n_t: int, T_pad: int, P: int, halo: int):
-    """Overlapping windows de-interleaved into P phase planes:
-    [B, n_t, P, win/P, C]."""
-    B, T, C = x.shape
-    xp = jnp.pad(x, ((0, 0), (halo, T_pad - T + halo), (0, 0)))
-    win = t_tile + 2 * halo
-    w = jnp.stack(
-        [jax.lax.slice_in_dim(xp, ti * t_tile, ti * t_tile + win, axis=1)
-         for ti in range(n_t)], axis=1)            # [B, n_t, win, C]
-    w = w.reshape(B, n_t, win // P, P, C)
-    return jnp.transpose(w, (0, 1, 3, 2, 4))       # [B, n_t, P, win/P, C]
-
-
 def fused_pair_reverse_wino(u, v, c_a, c_b, operands, *, interpret=False,
                             phases: int = 6, hoisted: bool = False):
     """Winograd pair-flow reverse.  Same contract as fused_pair_reverse.
@@ -867,20 +883,19 @@ def fused_pair_reverse_wino(u, v, c_a, c_b, operands, *, interpret=False,
     halo = 6 * P  # 6 plane rows each side (one per chained conv stage)
     base_tile = WINO_T_TILE if P == 6 else WINO4_T_TILE
     # tile start must preserve phase (multiple of P) and plane rows should
-    # stay 16-row aligned: lcm(6,16)=48, lcm(12,16)=48
-    t_tile = min(base_tile, max(4 * P, -(-T // 48) * 48))
+    # stay 16-row aligned: lcm(6,16)=48, lcm(12,16)=48.  Tiles must also
+    # cover the halo (>= 6 plane rows) for the tile+halo scheme.
+    min_tile = -(-(6 * P) // 48) * 48
+    t_tile = min(base_tile, max(min_tile, -(-T // 48) * 48))
     n_t = -(-T // t_tile)
     T_pad = n_t * t_tile
 
-    uw, vw = (_windows_wino(x, t_tile, n_t, T_pad, P, halo)
-              for x in (u, v))
-    if c_a.ndim == 3:   # see fused_pair_reverse: pre-window c once/block
-        c_a = _windows_wino(c_a, t_tile, n_t, T_pad, P, halo)
-        c_b = _windows_wino(c_b, t_tile, n_t, T_pad, P, halo)
-    caw, cbw = c_a, c_b
+    ut, uh = _tiles_and_halos_wino(u, t_tile, n_t, T_pad, P, halo)
+    vt, vh = _tiles_and_halos_wino(v, t_tile, n_t, T_pad, P, halo)
+    cat, cah = _tiles_and_halos_wino(c_a, t_tile, n_t, T_pad, P, halo)
+    cbt, cbh = _tiles_and_halos_wino(c_b, t_tile, n_t, T_pad, P, halo)
     Cc = c_a.shape[-1]
-    win = t_tile + 2 * halo
-    Lp = win // P
+    rows = t_tile // P
 
     kern = _pair_kernel_wino_hoisted if hoisted else _pair_kernel_wino
     kernel = functools.partial(kern, t_tile=t_tile, n_t=n_t, T=T)
@@ -888,6 +903,14 @@ def fused_pair_reverse_wino(u, v, c_a, c_b, operands, *, interpret=False,
 
     def in_map(g):
         return (g // n_t, g % n_t, 0, 0, 0)
+
+    def tile_spec(C):
+        return pl.BlockSpec((1, 1, P, rows, C), in_map,
+                            memory_space=pltpu.VMEM)
+
+    def halo_spec(C):
+        return pl.BlockSpec((1, 1, P, 12, C), in_map,
+                            memory_space=pltpu.VMEM)
 
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     mults = 4 / 6 if P == 6 else 6 / 12
@@ -899,33 +922,29 @@ def fused_pair_reverse_wino(u, v, c_a, c_b, operands, *, interpret=False,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, P, Lp, R_in), in_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P, Lp, R_in), in_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P, Lp, Cc), in_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P, Lp, Cc), in_map,
-                         memory_space=pltpu.VMEM),
+            tile_spec(R_in), halo_spec(R_in),
+            tile_spec(R_in), halo_spec(R_in),
+            tile_spec(Cc), halo_spec(Cc),
+            tile_spec(Cc), halo_spec(Cc),
         ] + [wspec] * len(operands),
         out_specs=[
-            pl.BlockSpec((1, 1, P, t_tile // P, R_in), in_map,
+            pl.BlockSpec((1, 1, P, rows, R_in), in_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P, t_tile // P, R_in), in_map,
+            pl.BlockSpec((1, 1, P, rows, R_in), in_map,
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((B, n_t, P, t_tile // P, R_in),
+        out_shape=[jax.ShapeDtypeStruct((B, n_t, P, rows, R_in),
                                         dtype)] * 2,
         cost_estimate=pl.CostEstimate(
             flops=int(2 * B * flops_net),
-            bytes_accessed=(uw.size + vw.size + caw.size + cbw.size
+            bytes_accessed=(ut.size + vt.size + cat.size + cbt.size
                             + 2 * B * T_pad * R_in) * dtype.itemsize,
             transcendentals=2 * B * T * 512 * 2,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
-    )(uw, vw, caw, cbw, *operands)
+    )(ut, uh, vt, vh, cat, cah, cbt, cbh, *operands)
 
     def reinterleave(x):
         x = jnp.transpose(x, (0, 1, 3, 2, 4))       # [B, n_t, tt/P, P, R]
