@@ -406,7 +406,11 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
         else:
             c_a, c_b = jnp.split(c, 2, axis=2)
             g_a, g_b = jnp.split(g, 2, axis=2) if has_g else (None, None)
-        mode = _pair_kernel_mode(cfg, c_a.shape[-1], has_g)
+        # c halves may arrive pre-tiled for the wino kernels
+        # ((tiles, halos) tuples from ops.pallas_flow.wino_cond_tiles)
+        cc_half = (c_a[0].shape[-1] if isinstance(c_a, tuple)
+                   else c_a.shape[-1])
+        mode = _pair_kernel_mode(cfg, cc_half, has_g)
         if mode is not None:
             from ..ops import pallas_flow as pf
             interp = jax.default_backend() == "cpu"
@@ -463,6 +467,8 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
                                make_ops(pair, dtype=x.dtype),
                                interpret=interp)
         else:
+            assert not isinstance(c_a, tuple), \
+                "pre-tiled cond requires a wino kernel route"
             (u, v), _ = jax.lax.scan(
                 _pair_step_rev(cfg, c_a, c_b, g_a, g_b), (u, v),
                 _pair_params(p), reverse=True)
@@ -642,8 +648,20 @@ def reverse(params: dict, cfg: ModelConfig, z: jax.Array, c: jax.Array,
                       else (None, None))
         for bi in reversed(range(cfg.n_block)):
             k = bi + 1
-            c_halves = (squeeze_to_level(c_lo, k),
-                        squeeze_to_level(c_hi, k))
+            cc_half = (cfg.num_mels << k) // 2
+            mode = (_pair_kernel_mode(cfg, cc_half, g_emb is not None)
+                    if cfg.n_flow % 2 == 0 else None)
+            if mode in ("wino", "wino4"):
+                # build the kernels' plane tiles DIRECTLY from the mel
+                # halves: one transpose fuses the level extraction and
+                # the plane de-interleave, once per block (pair-constant)
+                from ..ops import pallas_flow as pf
+                P = 12 if mode == "wino4" else 6
+                c_halves = (pf.wino_cond_tiles(c_lo, k, P),
+                            pf.wino_cond_tiles(c_hi, k, P))
+            else:
+                c_halves = (squeeze_to_level(c_lo, k),
+                            squeeze_to_level(c_hi, k))
             g_halves = ((squeeze_to_level(g_lo, k),
                          squeeze_to_level(g_hi, k))
                         if g_emb is not None else None)

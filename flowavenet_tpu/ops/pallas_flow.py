@@ -408,6 +408,18 @@ def _tiles_and_halos(x, t_tile: int, n_t: int, T_pad: int, halo: int):
     return tiles, jnp.concatenate([lefts, rights], axis=2)
 
 
+def _plane_halos(v, hr: int):
+    """Halo slivers [B, n_t, P, 2*hr, C] for plane-ified tiles v."""
+    B, n_t, P, rows, C = v.shape
+    z = jnp.zeros((B, 1, P, hr, C), v.dtype)
+    if n_t > 1:
+        lefts = jnp.concatenate([z, v[:, :-1, :, -hr:, :]], axis=1)
+        rights = jnp.concatenate([v[:, 1:, :, :hr, :], z], axis=1)
+    else:
+        lefts = rights = z
+    return jnp.concatenate([lefts, rights], axis=3)
+
+
 def _tiles_and_halos_wino(x, t_tile: int, n_t: int, T_pad: int, P: int,
                           halo: int):
     """Plane de-interleaved tiles [B, n_t, P, t_tile/P, C] (one transpose)
@@ -417,14 +429,40 @@ def _tiles_and_halos_wino(x, t_tile: int, n_t: int, T_pad: int, P: int,
     xp = x if T == T_pad else jnp.pad(x, ((0, 0), (0, T_pad - T), (0, 0)))
     v = xp.reshape(B, n_t, t_tile // P, P, C)
     v = jnp.transpose(v, (0, 1, 3, 2, 4))        # [B, n_t, P, tt/P, C]
-    hr = halo // P
-    z = jnp.zeros((B, 1, P, hr, C), x.dtype)
-    if n_t > 1:
-        lefts = jnp.concatenate([z, v[:, :-1, :, -hr:, :]], axis=1)
-        rights = jnp.concatenate([v[:, 1:, :, :hr, :], z], axis=1)
-    else:
-        lefts = rights = z
-    return v, jnp.concatenate([lefts, rights], axis=3)
+    return v, _plane_halos(v, halo // P)
+
+
+def _wino_geometry(T: int, P: int):
+    """(t_tile, n_t, T_pad) for the Winograd kernels at level length T."""
+    base_tile = WINO_T_TILE if P == 6 else WINO4_T_TILE
+    min_tile = -(-(6 * P) // 48) * 48
+    t_tile = min(base_tile, max(min_tile, -(-T // 48) * 48))
+    n_t = -(-T // t_tile)
+    return t_tile, n_t, n_t * t_tile
+
+
+def wino_cond_tiles(c_half, k: int, P: int):
+    """Level-k conditioning tiles+halos for the Winograd kernels, built
+    DIRECTLY from the (half-)mel tensor in one transpose.
+
+    Equivalent to _tiles_and_halos_wino(squeeze_to_level(c_half, k), ...)
+    but fuses the level extraction and the plane de-interleave, and runs
+    once per block (c is pair-constant) instead of per pair.  Time index
+    algebra: t0 = 2^k*(tile*tt + P*j + q) + delta, target channel
+    2^k*m + bitrev(delta)."""
+    B, T0, C0 = c_half.shape
+    Tk = T0 >> k
+    t_tile, n_t, T_pad = _wino_geometry(Tk, P)
+    rows = t_tile // P
+    if T_pad != Tk:
+        c_half = jnp.pad(
+            c_half, ((0, 0), (0, (T_pad - Tk) << k), (0, 0)))
+    v = c_half.reshape((B, n_t, rows, P) + (2,) * k + (C0,))
+    # axes: 0 B, 1 n_t, 2 j(rows), 3 q(P), 4..3+k delta bits (MSB..LSB),
+    # 4+k C0.  Target: [B, n_t, q, j, m, p1(=LSB)..pk(=MSB)].
+    perm = (0, 1, 3, 2, 4 + k) + tuple(range(3 + k, 3, -1))
+    v = v.transpose(perm).reshape(B, n_t, P, rows, C0 << k)
+    return v, _plane_halos(v, 6)
 
 
 def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
@@ -881,20 +919,17 @@ def fused_pair_reverse_wino(u, v, c_a, c_b, operands, *, interpret=False,
     dtype = u.dtype
     P = phases
     halo = 6 * P  # 6 plane rows each side (one per chained conv stage)
-    base_tile = WINO_T_TILE if P == 6 else WINO4_T_TILE
-    # tile start must preserve phase (multiple of P) and plane rows should
-    # stay 16-row aligned: lcm(6,16)=48, lcm(12,16)=48.  Tiles must also
-    # cover the halo (>= 6 plane rows) for the tile+halo scheme.
-    min_tile = -(-(6 * P) // 48) * 48
-    t_tile = min(base_tile, max(min_tile, -(-T // 48) * 48))
-    n_t = -(-T // t_tile)
-    T_pad = n_t * t_tile
+    t_tile, n_t, T_pad = _wino_geometry(T, P)
 
     ut, uh = _tiles_and_halos_wino(u, t_tile, n_t, T_pad, P, halo)
     vt, vh = _tiles_and_halos_wino(v, t_tile, n_t, T_pad, P, halo)
-    cat, cah = _tiles_and_halos_wino(c_a, t_tile, n_t, T_pad, P, halo)
-    cbt, cbh = _tiles_and_halos_wino(c_b, t_tile, n_t, T_pad, P, halo)
-    Cc = c_a.shape[-1]
+    # conditioning may arrive pre-tiled per block (wino_cond_tiles)
+    if isinstance(c_a, tuple):
+        (cat, cah), (cbt, cbh) = c_a, c_b
+    else:
+        cat, cah = _tiles_and_halos_wino(c_a, t_tile, n_t, T_pad, P, halo)
+        cbt, cbh = _tiles_and_halos_wino(c_b, t_tile, n_t, T_pad, P, halo)
+    Cc = cat.shape[-1]
     rows = t_tile // P
 
     kern = _pair_kernel_wino_hoisted if hoisted else _pair_kernel_wino

@@ -181,6 +181,21 @@ def test_wino_multi_tile(key, rng, monkeypatch):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("k,P", [(1, 6), (2, 6), (1, 12), (3, 12)])
+def test_wino_cond_tiles_matches_composition(rng, k, P):
+    """Direct-from-mel tile builder == de-interleave(squeeze_to_level)."""
+    from flowavenet_tpu.ops import pallas_flow as pf
+    from flowavenet_tpu.ops.squeeze import squeeze_to_level
+    c = jnp.asarray(rng.randn(2, 96 << k, 5), jnp.float32)
+    ck = squeeze_to_level(c, k)
+    t_tile, n_t, T_pad = pf._wino_geometry(ck.shape[1], P)
+    want_t, want_h = pf._tiles_and_halos_wino(ck, t_tile, n_t, T_pad, P,
+                                              6 * P)
+    got_t, got_h = pf.wino_cond_tiles(c, k, P)
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+    np.testing.assert_array_equal(np.asarray(got_h), np.asarray(want_h))
+
+
 def test_model_routing_matches_xla(key, rng, monkeypatch):
     """reverse() with use_pallas=True (kernel path, interpret on CPU) must
     match use_pallas=False bit-closely on the full tiny model."""
