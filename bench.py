@@ -97,6 +97,11 @@ def main() -> None:
     hop = cfg.audio.hop_size
     sq = cfg.model.squeeze_factor
     frames = int(seconds * sr) // hop
+    # prefer T divisible by 30 mel frames (= 7680 samples at hop 256):
+    # every early block's kernel tile then divides its level length
+    # exactly, so the tile views are free (no jnp.pad copies)
+    if frames >= 30 and (30 * hop) % sq == 0:
+        frames -= frames % 30
     while (frames * hop) % sq != 0 and frames > 1:
         frames -= 1
     T = frames * hop

@@ -57,7 +57,7 @@ class SynthesisService:
     """Device worker with dynamic micro-batching."""
 
     def __init__(self, params, cfg: Config, *, max_batch: int = 16,
-                 batch_window_ms: float = 10.0, bucket_frames: int = 64):
+                 batch_window_ms: float = 10.0, bucket_frames: int = 60):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch

@@ -56,7 +56,7 @@ def synthesize_mels(params, cfg: Config, mels: list[np.ndarray],
                     seed: int | list[int] = 0, speaker_ids=None,
                     compute_dtype=None,
                     temp: float | list[float] | None = None,
-                    bucket_frames: int = 64) -> list[np.ndarray]:
+                    bucket_frames: int = 60) -> list[np.ndarray]:
     """Synthesize a list of [T_mel, num_mels] mels; returns float32 wavs.
 
     Mels are padded to the longest item (rounded up to ``bucket_frames`` so
@@ -116,7 +116,7 @@ def main(argv=None):
                         help="mels synthesized per reverse pass")
     parser.add_argument("--temp", type=float, default=None)
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--bucket_frames", type=int, default=64,
+    parser.add_argument("--bucket_frames", type=int, default=60,
                         help="pad mel lengths up to multiples of this so "
                              "batches reuse compiled shapes")
     args = parser.parse_args(argv)
