@@ -89,7 +89,7 @@ def main() -> None:
     from flowavenet_tpu.models.flowavenet import init_flowavenet, reverse
 
     cfg = get_config(os.environ.get("BENCH_CONFIG", "lj22k"))
-    batch = int(os.environ.get("BENCH_BATCH", "96"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     seconds = float(os.environ.get("BENCH_SECONDS", "4"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
 

@@ -194,8 +194,11 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
     fg0 += cond_b[0].astype(acc)
     r = fg0.shape[-1] // 2
     gated0 = _gated(fg0, r, dtype)
-    res0 = jnp.dot(gated0, res_w, preferred_element_type=acc)
-    res0 += res_b.astype(acc)
+    # res and skip0 share the same input: one [R, 2R] dot (the weight
+    # concat is loop-invariant and tiny)
+    rs_w = jnp.concatenate([res_w, skip_w[0]], axis=-1)
+    rs = jnp.dot(gated0, rs_w, preferred_element_type=acc)
+    res0 = rs[:, :r] + res_b.astype(acc)
     h0_mid = jax.lax.slice_in_dim(h0, 1, 1 + l_g0, axis=0)
     h1 = ((h0_mid.astype(acc) + res0) * SQRT_HALF).astype(dtype)
     h1 = _mask_valid(h1, row0 - 3, T, edge)
@@ -210,8 +213,7 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
     fg1 += cond_b[1].astype(acc)
     gated1 = _gated(fg1, r, dtype)
 
-    sk0 = jnp.dot(jax.lax.slice_in_dim(gated0, 3, 3 + out_len, axis=0),
-                  skip_w[0], preferred_element_type=acc)
+    sk0 = jax.lax.slice_in_dim(rs[:, r:], 3, 3 + out_len, axis=0)
     sk0 += skip_b[0].astype(acc)
     sk1 = jnp.dot(gated1, skip_w[1], preferred_element_type=acc)
     sk1 += skip_b[1].astype(acc)
@@ -756,7 +758,8 @@ def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win, T: int,
     # layer 0 (d=1)
     fg0 = conv(h0, a0, kfg[0], step=1, a_out=a1, L=L1)
     r = fg0[0].shape[-1] // 2
-    gated0, h1 = [], []
+    rs_w = jnp.concatenate([res_w, skip_w[0]], axis=-1)
+    sk0_pl, h1 = [], []
     for q in range(P):
         c_sl = jax.lax.slice_in_dim(c_pl[q], a1, a1 + L1, axis=0)
         if cond_w is None:
@@ -766,8 +769,9 @@ def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win, T: int,
                                   preferred_element_type=acc)
         fg = fg + cond_b[0].astype(acc)
         g = _gated(fg, r, dtype)
-        gated0.append(g)
-        res0 = jnp.dot(g, res_w, preferred_element_type=acc)
+        rs = jnp.dot(g, rs_w, preferred_element_type=acc)
+        sk0_pl.append(rs[:, r:])
+        res0 = rs[:, :r]
         h0_mid = jax.lax.slice_in_dim(h0[q], 1, 1 + L1, axis=0)
         h1.append(((h0_mid.astype(acc) + res0 + res_b.astype(acc))
                    * SQRT_HALF).astype(dtype))
@@ -785,8 +789,7 @@ def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win, T: int,
                                   preferred_element_type=acc)
         fg = fg + cond_b[1].astype(acc)
         g1 = _gated(fg, r, dtype)
-        sk0 = jnp.dot(jax.lax.slice_in_dim(gated0[q], 1, 1 + L2, axis=0),
-                      skip_w[0], preferred_element_type=acc)
+        sk0 = jax.lax.slice_in_dim(sk0_pl[q], 1, 1 + L2, axis=0)
         sk = (sk0 + skip_b[0].astype(acc)
               + jnp.dot(g1, skip_w[1], preferred_element_type=acc)
               + skip_b[1].astype(acc))
