@@ -469,6 +469,8 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
         else:
             assert not isinstance(c_a, tuple), \
                 "pre-tiled cond requires a wino kernel route"
+            # (measured: unroll=True is time-neutral here but adds ~45 s
+            # of compile — the scan stays)
             (u, v), _ = jax.lax.scan(
                 _pair_step_rev(cfg, c_a, c_b, g_a, g_b), (u, v),
                 _pair_params(p), reverse=True)
