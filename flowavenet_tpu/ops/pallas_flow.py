@@ -101,7 +101,7 @@ def _conv3(buf, w, *, off: int, length: int, dilation: int):
 _NO_MASK = bool(_os.environ.get("FWN_NO_MASK"))
 
 
-def _mask_valid(x, row0, T: int, edge=None):
+def _mask_valid(x, row0, T: int):
     """Zero rows whose global position falls outside [0, T).
 
     The reference zero-pads EVERY conv's input at the sequence edges
@@ -109,27 +109,14 @@ def _mask_valid(x, row0, T: int, edge=None):
     there, so anything another conv consumes must be re-zeroed outside the
     sequence.  row0 = global position of x's row 0 (traced scalar).
 
-    ``edge`` (traced bool) gates the work: interior tiles' windows hold
-    only in-range data, so the mask is an exact no-op there and the VPU
-    arithmetic is skipped via lax.cond.  edge=None masks unconditionally."""
-    def do(x):
-        pos = row0 + jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)
-        return jnp.where((pos >= 0) & (pos < T), x, jnp.zeros_like(x))
-
+    Measured free: the iota/compare/where fuses into the pipeline (405.2 ==
+    405.2 ms with FWN_NO_MASK at the block-0 bench shape); gating it behind
+    a lax.cond on an interior-tile predicate was 100 ms SLOWER — Mosaic
+    conds break the software pipeline."""
     if _NO_MASK:
         return x
-    if edge is None:
-        return do(x)
-    return jax.lax.cond(edge, do, lambda x_: x_, x)
-
-
-def _edge_pred(ti, t_tile: int, n_t: int, halo: int):
-    """Traced 'this tile's window may touch sequence edges / padding'.
-    None when every tile is an edge tile (gating would not help)."""
-    k = -(-halo // t_tile)
-    if n_t <= 2 * k + 1:
-        return None
-    return (ti < k) | (ti >= n_t - k - 1)
+    pos = row0 + jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)
+    return jnp.where((pos >= 0) & (pos < T), x, jnp.zeros_like(x))
 
 
 _NO_GATE = bool(_os.environ.get("FWN_NO_GATE"))  # timing probe: skip tanh/sig
@@ -155,7 +142,7 @@ def _gated(fg, r: int, dtype):
 
 
 def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
-                  row0, T: int, edge=None,
+                  row0, T: int,
                   front_w, front_b, kfg, cond_w, cond_b, res_w, res_b,
                   skip_w, skip_b, fin_w, fin_b, zw, zb, dtype):
     """WaveNet coupling net over VMEM values.
@@ -181,7 +168,7 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
     l_h0 = out_len + 8
     h0 = _conv3(x_buf, front_w, off=x_off - 4, length=l_h0, dilation=1)
     h0 = jnp.maximum(h0 + front_b.astype(acc), 0.0).astype(dtype)
-    h0 = _mask_valid(h0, row0 - 4, T, edge)
+    h0 = _mask_valid(h0, row0 - 4, T)
 
     # layer 0 (d=1): fg over [-3, out_len+3)
     l_g0 = out_len + 6
@@ -201,7 +188,7 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
     res0 = rs[:, :r] + res_b.astype(acc)
     h0_mid = jax.lax.slice_in_dim(h0, 1, 1 + l_g0, axis=0)
     h1 = ((h0_mid.astype(acc) + res0) * SQRT_HALF).astype(dtype)
-    h1 = _mask_valid(h1, row0 - 3, T, edge)
+    h1 = _mask_valid(h1, row0 - 3, T)
 
     # layer 1 (d=3): fg over [0, out_len)
     fg1 = _conv3(h1, kfg[1], off=3, length=out_len, dilation=3)
@@ -257,17 +244,12 @@ def _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref, cbt_ref,
                     fin_w=fin_w[i], fin_b=fin_b[i], zw=zw[i], zb=zb[i])
 
     # ---- flow pair, reverse order (odd first) --------------------------
-    ti = g % n_t
-    tile_start = ti * t_tile
-    # NOTE: gating the masks behind lax.cond(_edge_pred(...)) was measured
-    # SLOWER (block 0 wino: 505 vs 402 ms) — Mosaic conds break the
-    # software pipeline.  Masks run unconditionally.
-    edge = None
+    tile_start = (g % n_t) * t_tile
     # couple(odd): u' = u*exp(log_s(v)) + t(v), needed over [-5, Tt+5)
     l_mid = t_tile + 10
     net = _coupling_net(v, cb, x_off=HALO - 5, c_off=HALO - 5,
                         out_len=l_mid, row0=tile_start - 5, T=T,
-                        edge=edge, dtype=dtype, **flow_w(1))
+                        dtype=dtype, **flow_w(1))
     log_s, t = net[:, :r_in], net[:, r_in:]
     u_mid = jax.lax.slice_in_dim(u, HALO - 5, HALO - 5 + l_mid, axis=0)
     u_mid = u_mid.astype(f32) * jnp.exp(log_s) + t
@@ -277,12 +259,12 @@ def _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref, cbt_ref,
     u_mid = (u_mid * an_s[1, 1].astype(f32)
              - an_b[1, 1].astype(f32)).astype(dtype)
     # zero u' outside the sequence before couple2's convs consume it
-    u_mid = _mask_valid(u_mid, tile_start - 5, T, edge)
+    u_mid = _mask_valid(u_mid, tile_start - 5, T)
 
     # couple(even): v' = v*exp(log_s(u')) + t(u'), needed over [0, Tt)
     net2 = _coupling_net(u_mid, ca, x_off=5, c_off=HALO,
                          out_len=t_tile, row0=tile_start, T=T,
-                         edge=edge, dtype=dtype, **flow_w(0))
+                         dtype=dtype, **flow_w(0))
     log_s2, t2 = net2[:, :r_in], net2[:, r_in:]
     v_new = v_an * jnp.exp(log_s2) + t2
     # actnorm reverse (even): u half0, v half1
@@ -707,31 +689,23 @@ def _conv3_front_planes(planes, a_vals: int, w, *, a_out: int, L: int):
     return outs
 
 
-def _mask_planes(planes, a: int, row0_win, T: int, edge=None):
+def _mask_planes(planes, a: int, row0_win, T: int):
     """Zero plane rows whose global position is outside [0, T).
-    row0_win = global position of window row 0 (traced scalar).
-    ``edge`` gates the work exactly like _mask_valid."""
-    P = len(planes)
-
-    def do(planes):
-        out = []
-        for r, x in enumerate(planes):
-            pos = (row0_win + P * a + r
-                   + P * jax.lax.broadcasted_iota(jnp.int32,
-                                                  (x.shape[0], 1), 0))
-            out.append(jnp.where((pos >= 0) & (pos < T), x,
-                                 jnp.zeros_like(x)))
-        return tuple(out)
-
+    row0_win = global position of window row 0 (traced scalar)."""
     if _NO_MASK:
         return list(planes)
-    if edge is None:
-        return list(do(tuple(planes)))
-    return list(jax.lax.cond(edge, do, lambda t: t, tuple(planes)))
+    P = len(planes)
+    out = []
+    for r, x in enumerate(planes):
+        pos = (row0_win + P * a + r
+               + P * jax.lax.broadcasted_iota(jnp.int32,
+                                              (x.shape[0], 1), 0))
+        out.append(jnp.where((pos >= 0) & (pos < T), x, jnp.zeros_like(x)))
+    return out
 
 
-def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win, T: int,
-                       edge=None,
+def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win,
+                       T: int,
                        front_w, front_b, kfg, cond_w, cond_b, res_w, res_b,
                        skip_w, skip_b, fin_w, fin_b, zw, zb, dtype):
     """Plane-space coupling net.  x_pl: P planes at region start x_a;
@@ -753,7 +727,7 @@ def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win, T: int,
     h0 = _conv3_front_planes(x_pl, x_a, front_w, a_out=a0, L=L0)
     h0 = [jnp.maximum(h + front_b.astype(acc), 0.0).astype(dtype)
           for h in h0]
-    h0 = _mask_planes(h0, a0, row0_win, T, edge)
+    h0 = _mask_planes(h0, a0, row0_win, T)
 
     # layer 0 (d=1)
     fg0 = conv(h0, a0, kfg[0], step=1, a_out=a1, L=L1)
@@ -775,7 +749,7 @@ def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win, T: int,
         h0_mid = jax.lax.slice_in_dim(h0[q], 1, 1 + L1, axis=0)
         h1.append(((h0_mid.astype(acc) + res0 + res_b.astype(acc))
                    * SQRT_HALF).astype(dtype))
-    h1 = _mask_planes(h1, a1, row0_win, T, edge)
+    h1 = _mask_planes(h1, a1, row0_win, T)
 
     # layer 1 (d=3)
     fg1 = conv(h1, a1, kfg[1], step=3, a_out=a2, L=L2)
@@ -821,9 +795,7 @@ def _pair_kernel_wino(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
     dtype = u_out.dtype
     P = ut_ref.shape[2]                # phase planes: 6=F(2,3), 12=F(4,3)
     halo = 6 * P                       # 6 plane rows each side
-    ti = g % n_t
-    row0_win = ti * t_tile - halo
-    edge = None  # lax.cond gating measured slower; see _pair_kernel
+    row0_win = (g % n_t) * t_tile - halo
 
     u_pl = _win_cat_planes(ut_ref, uh_ref, P, 6)
     v_pl = _win_cat_planes(vt_ref, vh_ref, P, 6)
@@ -841,7 +813,7 @@ def _pair_kernel_wino(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
 
     # couple(odd): u' = u*exp(log_s(v)) + t(v) at region a=3
     net = _coupling_net_wino(v_pl, 0, cb_pl, a_h0=1, row0_win=row0_win,
-                             T=T, edge=edge, dtype=dtype, **flow_w(1))
+                             T=T, dtype=dtype, **flow_w(1))
     a_mid, L_mid = 3, Lp - 6
     u_mid = []
     for q in range(P):
@@ -851,12 +823,12 @@ def _pair_kernel_wino(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
         # actnorm reverse (odd), u half1
         um = um * an_s[1, 1].astype(f32) - an_b[1, 1].astype(f32)
         u_mid.append(um.astype(dtype))
-    u_mid = _mask_planes(u_mid, a_mid, row0_win, T, edge)
+    u_mid = _mask_planes(u_mid, a_mid, row0_win, T)
 
     # couple(even): v' = v*exp(log_s(u')) + t(u') at region a=6
     net2 = _coupling_net_wino(u_mid, a_mid, ca_pl, a_h0=4,
-                              row0_win=row0_win, T=T, edge=edge,
-                              dtype=dtype, **flow_w(0))
+                              row0_win=row0_win, T=T, dtype=dtype,
+                              **flow_w(0))
     a_out, L_out = 6, Lp - 12
     for q in range(P):
         v_sl = jax.lax.slice_in_dim(v_pl[q], a_out, a_out + L_out, axis=0)

@@ -32,12 +32,6 @@ def squeeze_n(x, n: int):
     return x
 
 
-def _bitrev_perm(k: int) -> list[int]:
-    """Bit-reversal permutation of [0, 2**k)."""
-    return [int(format(i, f"0{k}b")[::-1], 2) if k else 0
-            for i in range(1 << k)]
-
-
 def squeeze_to_level(x, k: int):
     """``squeeze_n(x, k)`` computed as ONE gather instead of k chained
     transposes.
