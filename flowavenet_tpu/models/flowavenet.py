@@ -279,6 +279,12 @@ PAIR_KERNEL_WINO = bool(int(_os.environ.get("FWN_WINO", "1")))
 PAIR_KERNEL_WINO4 = bool(int(_os.environ.get("FWN_WINO4", "0")))
 PAIR_KERNEL_WINO_MAX_CC = 320
 
+# EXPERIMENTAL int8 MXU for the direct kernel's filter|gate convs
+# (FWN_INT8=1): 2x bf16 peak, adds ~0.8% weight quantization noise.
+# Replaces the Winograd route for blocks 0-3 when on (int8 and the
+# Winograd transform don't compose).  Opt-in only; see docs/benchmarks.md.
+PAIR_KERNEL_INT8 = bool(_os.environ.get("FWN_INT8"))
+
 # Hoisted-conditioning pair kernel for the deep blocks.  Measured at
 # t_tile 1024 (b96 x 4s) it LOSES to in-model XLA (e2e 1205 vs 1108 ms;
 # the round-1 stage profile overstated XLA's deep-block cost — in-model
@@ -303,6 +309,8 @@ def _pair_kernel_mode(cfg: ModelConfig, cc_half: int,
     """'wino' | 'direct' | 'hoisted' | None, by conditioning width."""
     if not _pair_kernel_eligible(cfg, cc_half, has_g):
         return None
+    if PAIR_KERNEL_INT8 and cc_half <= PAIR_KERNEL_MAX_CC:
+        return "int8"
     if PAIR_KERNEL_WINO and cc_half <= PAIR_KERNEL_WINO_MAX_CC:
         return "wino4" if PAIR_KERNEL_WINO4 else "wino"
     if cc_half <= PAIR_KERNEL_MAX_CC:
@@ -458,6 +466,10 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
                 elif mode == "wino":
                     make_ops = pf.pair_reverse_operands_wino
                     run = pf.fused_pair_reverse_wino
+                elif mode == "int8":
+                    make_ops = pf.pair_reverse_operands_int8
+                    run = functools.partial(pf.fused_pair_reverse,
+                                            int8=True)
                 else:
                     make_ops = pf.pair_reverse_operands
                     run = pf.fused_pair_reverse

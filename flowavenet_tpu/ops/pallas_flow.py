@@ -70,6 +70,32 @@ GATE_DTYPE = (jnp.bfloat16 if _os.environ.get("FWN_GATE_BF16")
 ACC_DTYPE = (jnp.bfloat16 if _os.environ.get("FWN_ACC_BF16")
              else jnp.float32)
 
+# EXPERIMENTAL: int8 MXU for the filter|gate convs of the DIRECT kernel
+# (2x bf16 peak on v5e).  Per-tile activation scale (max-abs), per-output-
+# channel weight scale, int32 accumulation.  Opt-in — adds quantization
+# noise on top of bf16; quality deltas are measured by
+# tools/verify_kernels_tpu.py and documented in docs/benchmarks.md.
+INT8_FG = bool(_os.environ.get("FWN_INT8"))
+
+
+def _conv3_int8(buf, wq, wscale, *, off: int, length: int,
+                dilation: int):
+    """3-tap dilated conv on the int8 MXU path: buf (bf16) is quantized
+    per call with a max-abs scale; wq int8 [3, Cin, Cout] with per-channel
+    wscale f32 [Cout].  Returns ACC_DTYPE like _conv3."""
+    f32 = jnp.float32
+    amax = jnp.max(jnp.abs(buf.astype(f32)))
+    a_scale = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(buf.astype(f32) / a_scale), -127.0, 127.0
+                 ).astype(jnp.int8)
+    acc = None
+    for k in range(3):
+        start = off - dilation + k * dilation
+        tap = jax.lax.slice_in_dim(q, start, start + length, axis=0)
+        o = jnp.dot(tap, wq[k], preferred_element_type=jnp.int32)
+        acc = o if acc is None else acc + o
+    return (acc.astype(f32) * (a_scale * wscale)[None, :]).astype(ACC_DTYPE)
+
 
 def _conv3(buf, w, *, off: int, length: int, dilation: int):
     """3-tap dilated conv over a VMEM-resident value.
@@ -163,7 +189,19 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
     h1 over +-3, h0 over +-4, x over +-5 relative to that region.
     """
     acc = ACC_DTYPE
-    w2r = kfg.shape[-1]  # 2R: fused filter|gate width
+    if isinstance(kfg, tuple):           # int8 fg path: (wq, wscale)
+        kq, ks = kfg
+        w2r = kq.shape[-1]
+
+        def conv_fg(buf, l, off, length, dil):
+            return _conv3_int8(buf, kq[l], ks[l], off=off, length=length,
+                               dilation=dil)
+    else:
+        w2r = kfg.shape[-1]  # 2R: fused filter|gate width
+
+        def conv_fg(buf, l, off, length, dil):
+            return _conv3(buf, kfg[l], off=off, length=length,
+                          dilation=dil)
     # h0 = relu(front(x)) over [-4, out_len+4)
     l_h0 = out_len + 8
     h0 = _conv3(x_buf, front_w, off=x_off - 4, length=l_h0, dilation=1)
@@ -172,7 +210,7 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
 
     # layer 0 (d=1): fg over [-3, out_len+3)
     l_g0 = out_len + 6
-    fg0 = _conv3(h0, kfg[0], off=1, length=l_g0, dilation=1)
+    fg0 = conv_fg(h0, 0, 1, l_g0, 1)
     c0 = jax.lax.slice_in_dim(c_buf, c_off - 3, c_off - 3 + l_g0, axis=0)
     if cond_w is None:
         fg0 += c0[:, :w2r].astype(acc)
@@ -191,7 +229,7 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
     h1 = _mask_valid(h1, row0 - 3, T)
 
     # layer 1 (d=3): fg over [0, out_len)
-    fg1 = _conv3(h1, kfg[1], off=3, length=out_len, dilation=3)
+    fg1 = conv_fg(h1, 1, 3, out_len, 3)
     c1 = jax.lax.slice_in_dim(c_buf, c_off, c_off + out_len, axis=0)
     if cond_w is None:
         fg1 += c1[:, w2r:].astype(acc)
@@ -237,7 +275,9 @@ def _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref, cbt_ref,
     r_in = u.shape[-1]
 
     def flow_w(i):
-        return dict(front_w=front_w[i], front_b=front_b[i], kfg=kfg[i],
+        k_i = ((kfg[0][i], kfg[1][i]) if isinstance(kfg, tuple)
+               else kfg[i])
+        return dict(front_w=front_w[i], front_b=front_b[i], kfg=k_i,
                     cond_w=None if cond_w is None else cond_w[i],
                     cond_b=cond_b[i], res_w=res_w[i],
                     res_b=res_b[i], skip_w=skip_w[i], skip_b=skip_b[i],
@@ -274,6 +314,19 @@ def _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref, cbt_ref,
 
     u_out[0] = u_fin.astype(dtype)
     v_out[0] = v_fin.astype(dtype)
+
+
+def _pair_kernel_i8(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
+                    cbt_ref, cbh_ref, front_w, front_b, kfg, cond_w,
+                    cond_b, res_w, res_b, skip_w, skip_b, fin_w, fin_b,
+                    zw, zb, an_s, an_b, kfg_scale, u_out, v_out,
+                    *, t_tile: int, n_t: int, T: int):
+    """int8-fg variant: kfg is int8 with trailing per-channel scales."""
+    _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
+                 cbt_ref, cbh_ref, front_w, front_b, (kfg, kfg_scale),
+                 cond_w, cond_b, res_w, res_b, skip_w, skip_b, fin_w,
+                 fin_b, zw, zb, an_s, an_b, u_out, v_out,
+                 t_tile=t_tile, n_t=n_t, T=T)
 
 
 def _pair_kernel_hoisted(ut_ref, uh_ref, vt_ref, vh_ref, cet_ref, ceh_ref,
@@ -355,6 +408,21 @@ def pair_reverse_operands(pair: dict, dtype=jnp.bfloat16):
 # operand index of cond_w in pair_reverse_operands output (see the order
 # table above _WEIGHT_OPERANDS at the bottom of this file)
 _COND_W_IDX = 3
+
+
+def pair_reverse_operands_int8(pair: dict, dtype=jnp.bfloat16):
+    """Operands for the int8-fg direct kernel: kfg quantized to int8 with
+    per-(flow, layer, out-channel) scales APPENDED as the last operand
+    (fp32 [2, n_layer, 2R])."""
+    ops = list(pair_reverse_operands(pair, dtype))
+    kfg = ops[2].astype(jnp.float32)            # [2, nl, 3, Cin, 2R]
+    amax = jnp.max(jnp.abs(kfg), axis=(2, 3))   # [2, nl, 2R]
+    scale = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
+    wq = jnp.clip(jnp.round(kfg / scale[:, :, None, None, :]),
+                  -127.0, 127.0).astype(jnp.int8)
+    ops[2] = wq
+    ops.append(scale)
+    return tuple(ops)
 
 
 def pair_reverse_operands_hoisted(pair: dict, dtype=jnp.bfloat16):
@@ -464,7 +532,8 @@ def wino_cond_tiles(c_half, k: int, P: int):
 
 
 def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
-                       interpret: bool = False, hoisted: bool = False):
+                       interpret: bool = False, hoisted: bool = False,
+                       int8: bool = False):
     """Apply one reverse flow pair. u, v: [B, T, R_in]; c_*: [B, T, Cc].
     ``operands`` from pair_reverse_operands.  Returns (u', v').
 
@@ -482,9 +551,9 @@ def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
     cbt, cbh = _tiles_and_halos(c_b, t_tile, n_t, T_pad, HALO)
     Cc = c_a.shape[-1]
 
-    kernel = functools.partial(
-        _pair_kernel_hoisted if hoisted else _pair_kernel,
-        t_tile=t_tile, n_t=n_t, T=T)
+    kern = (_pair_kernel_hoisted if hoisted
+            else _pair_kernel_i8 if int8 else _pair_kernel)
+    kernel = functools.partial(kern, t_tile=t_tile, n_t=n_t, T=T)
     grid = (B * n_t,)
 
     def in_map(g):

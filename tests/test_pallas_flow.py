@@ -157,6 +157,33 @@ def test_wino4_hoisted_matches_xla(key, rng):
                                rtol=1e-3, atol=1e-3)
 
 
+def test_int8_pair_kernel_close_to_xla(key, rng):
+    """int8-fg direct kernel approximates the XLA pair-scan within
+    quantization tolerance (per-channel weight int8 ~0.8% + activation
+    int8 per tile; EXPERIMENTAL FWN_INT8 path)."""
+    from flowavenet_tpu.ops.pallas_flow import pair_reverse_operands_int8
+    cfg = CFG
+    params = _randomized(key, cfg)
+    bp = params["blocks"][0]
+    T = 192
+    u = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    v = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    c_a = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    c_b = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    u_ref, v_ref = _xla_pair_reverse(bp, cfg, u, v, c_a, c_b)
+    pair = jax.tree.map(lambda l: l[0], fwn._pair_params(bp))
+    ops = pair_reverse_operands_int8(pair, dtype=jnp.float32)
+    u_k, v_k = fused_pair_reverse(u, v, c_a, c_b, ops, t_tile=64,
+                                  interpret=True, int8=True)
+    for got, want in ((u_k, u_ref), (v_k, v_ref)):
+        got, want = np.asarray(got), np.asarray(want)
+        assert np.all(np.isfinite(got))
+        denom = max(1e-6, float(np.abs(want).max()))
+        rel = float(np.abs(got - want).max()) / denom
+        corr = float(np.corrcoef(got.ravel(), want.ravel())[0, 1])
+        assert rel < 0.08 and corr > 0.998, (rel, corr)
+
+
 def test_wino_multi_tile(key, rng, monkeypatch):
     """Force several Winograd tiles (small WINO_T_TILE) so cross-tile halo
     and phase bookkeeping is covered."""
