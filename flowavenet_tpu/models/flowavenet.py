@@ -277,7 +277,7 @@ PAIR_KERNEL_WINO = bool(int(_os.environ.get("FWN_WINO", "1")))
 # block 1 300 vs 265 ms) — per-phase matmul M halves, MXU pipeline
 # fill/drain dominates.  Off pending larger-tile tuning.
 PAIR_KERNEL_WINO4 = bool(int(_os.environ.get("FWN_WINO4", "0")))
-PAIR_KERNEL_WINO_MAX_CC = 320
+PAIR_KERNEL_WINO_MAX_CC = int(_os.environ.get("FWN_WINO_MAX_CC", "320"))
 
 # EXPERIMENTAL int8 MXU for the direct kernel's filter|gate convs
 # (FWN_INT8=1): 2x bf16 peak, adds ~0.8% weight quantization noise.

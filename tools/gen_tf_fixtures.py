@@ -7,7 +7,6 @@ and weight-normalized convs to the reference's TF semantics
 """
 
 import os
-import sys
 
 import numpy as np
 
