@@ -77,6 +77,10 @@ ACC_DTYPE = (jnp.bfloat16 if _os.environ.get("FWN_ACC_BF16")
 # tools/verify_kernels_tpu.py and documented in docs/benchmarks.md.
 INT8_FG = bool(_os.environ.get("FWN_INT8"))
 
+# Grid dimension semantics: tiles are independent, so "parallel" lets
+# Mosaic overlap adjacent grid steps; FWN_GRID_ARBITRARY=1 reverts.
+_GRID_ARBITRARY = bool(_os.environ.get("FWN_GRID_ARBITRARY"))
+
 
 def _conv3_int8(buf, wq, wscale, *, off: int, length: int,
                 dilation: int):
@@ -597,6 +601,8 @@ def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
             transcendentals=2 * B * T * 512 * 2,
         ),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) if _GRID_ARBITRARY
+            else ("parallel",),
             vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(ut, uh, vt, vh, cat, cah, cbt, cbh, *operands)
@@ -1033,6 +1039,8 @@ def fused_pair_reverse_wino(u, v, c_a, c_b, operands, *, interpret=False,
             transcendentals=2 * B * T * 512 * 2,
         ),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) if _GRID_ARBITRARY
+            else ("parallel",),
             vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(ut, uh, vt, vh, cat, cah, cbt, cbh, *operands)
