@@ -19,8 +19,10 @@ Measurement notes:
 * timing uses a scalar readback as the execution fence;
   ``block_until_ready`` is unreliable on the experimental 'axon' platform.
 
-Env knobs: BENCH_BATCH (96) | BENCH_SECONDS (4) | BENCH_ITERS (5) |
+Env knobs: BENCH_BATCH (128) | BENCH_SECONDS (4; trimmed to a 30-frame
+multiple so kernel tiles divide exactly) | BENCH_ITERS (5) |
 BENCH_CONFIG (lj22k) | BENCH_MELS (synthetic | speech | /path/to/mels_dir)
+| FWN_INT8=1 (experimental int8 fg convs, ~+8%% at corr 0.9987)
 
 BENCH_MELS modes: "synthetic" (default) conditions on uniform-random mels
 generated on device — the headline number, free of host-transfer effects;
