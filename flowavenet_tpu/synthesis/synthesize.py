@@ -33,14 +33,23 @@ def _jitted_reverse(model_cfg: ModelConfig, dt):
 
 def load_params(saved_dir: str, cfg: Config):
     """Restore model params from the newest train checkpoint
-    (synthesize.py:29-37)."""
+    (synthesize.py:29-37).
+
+    When inference computes in bf16, the tree is cast ONCE here: a
+    resident fp32 master tree costs 362 MB of HBM for nothing at the
+    flagship size (weight-norm folding still runs in fp32 on the bf16
+    leaves), which at large synthesis batches is the difference between
+    fitting and OOM (docs/benchmarks.md)."""
     ckpt = latest_checkpoint(saved_dir)
     if ckpt is None:
         raise FileNotFoundError(f"no checkpoint found in {saved_dir}")
     print(f"Loading checkpoint {ckpt}")
     template = create_state(jax.random.PRNGKey(0), cfg)
     state, step = restore_checkpoint(ckpt, template)
-    return state.params, step
+    params = state.params
+    if cfg.train.compute_dtype == "bfloat16":
+        params = jax.tree.map(lambda l: l.astype(jnp.bfloat16), params)
+    return params, step
 
 
 def _usable_frames(frames: int, cfg: Config) -> int:
