@@ -86,16 +86,12 @@ class SynthesisService:
         return req.wav
 
     def _bucket_key(self, mel: np.ndarray) -> int:
-        """Padded frame count this mel will synthesize at (the group key)."""
-        from ..synthesis.synthesize import _usable_frames
-        frames = _usable_frames(mel.shape[0], self.cfg)
-        pad = frames
-        if self.bucket_frames > 1:
-            pad = -(-pad // self.bucket_frames) * self.bucket_frames
-        hop = self.cfg.audio.hop_size
-        while (pad * hop) % self.cfg.model.squeeze_factor != 0:
-            pad += 1
-        return pad
+        """Padded frame count this mel will synthesize at (the group key).
+        Delegates to synthesize.padded_frames so the grouping key and the
+        shape synthesize_mels actually pads to cannot drift apart."""
+        from ..synthesis.synthesize import _usable_frames, padded_frames
+        return padded_frames(_usable_frames(mel.shape[0], self.cfg),
+                             self.cfg, self.bucket_frames)
 
     def _drain(self) -> list[_Request]:
         first = self._q.get()

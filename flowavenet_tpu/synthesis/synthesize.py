@@ -31,7 +31,16 @@ def _jitted_reverse(model_cfg: ModelConfig, dt):
     return jax.jit(f)
 
 
-def load_params(saved_dir: str, cfg: Config):
+def resolve_compute_dtype(cfg: Config, compute_dtype=None):
+    """The dtype synthesis will actually run in: an explicit request wins,
+    else cfg.train.compute_dtype decides."""
+    if compute_dtype is not None:
+        return jnp.dtype(compute_dtype)
+    return (jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16"
+            else jnp.float32)
+
+
+def load_params(saved_dir: str, cfg: Config, compute_dtype=None):
     """Restore model params from the newest train checkpoint
     (synthesize.py:29-37).
 
@@ -39,7 +48,9 @@ def load_params(saved_dir: str, cfg: Config):
     resident fp32 master tree costs 362 MB of HBM for nothing at the
     flagship size (weight-norm folding still runs in fp32 on the bf16
     leaves), which at large synthesis batches is the difference between
-    fitting and OOM (docs/benchmarks.md)."""
+    fitting and OOM (docs/benchmarks.md).  ``compute_dtype`` overrides the
+    config — a caller that will synthesize in fp32 keeps fp32 weights even
+    when cfg.train.compute_dtype is bfloat16."""
     ckpt = latest_checkpoint(saved_dir)
     if ckpt is None:
         raise FileNotFoundError(f"no checkpoint found in {saved_dir}")
@@ -47,7 +58,7 @@ def load_params(saved_dir: str, cfg: Config):
     template = create_state(jax.random.PRNGKey(0), cfg)
     state, step = restore_checkpoint(ckpt, template)
     params = state.params
-    if cfg.train.compute_dtype == "bfloat16":
+    if resolve_compute_dtype(cfg, compute_dtype) == jnp.bfloat16:
         params = jax.tree.map(lambda l: l.astype(jnp.bfloat16), params)
     return params, step
 
@@ -59,6 +70,21 @@ def _usable_frames(frames: int, cfg: Config) -> int:
     while frames > 0 and (frames * hop) % sq != 0:
         frames -= 1
     return frames
+
+
+def padded_frames(frames: int, cfg: Config, bucket_frames: int = 60) -> int:
+    """Bucketed padded frame count a mel of ``frames`` usable frames will
+    synthesize at: rounded up to ``bucket_frames`` (so repeated calls reuse
+    compiled shapes) then to squeeze-factor alignment.  Shared by the batch
+    CLI and the serving batcher — the bucket key MUST be this exact value
+    or batch grouping and the compiled-shape cache drift apart."""
+    pad = frames
+    if bucket_frames > 1:
+        pad = -(-pad // bucket_frames) * bucket_frames
+    hop = cfg.audio.hop_size
+    while (pad * hop) % cfg.model.squeeze_factor != 0:
+        pad += 1
+    return pad
 
 
 def synthesize_mels(params, cfg: Config, mels: list[np.ndarray],
@@ -78,9 +104,7 @@ def synthesize_mels(params, cfg: Config, mels: list[np.ndarray],
     A scalar seed expands to ``seed + i`` per item so batch rows still get
     distinct noise.
     """
-    dt = compute_dtype or (jnp.bfloat16
-                           if cfg.train.compute_dtype == "bfloat16"
-                           else jnp.float32)
+    dt = resolve_compute_dtype(cfg, compute_dtype)
     n = len(mels)
     seeds = [seed + i for i in range(n)] if isinstance(seed, int) else seed
     if temp is None or isinstance(temp, (int, float)):
@@ -93,11 +117,7 @@ def synthesize_mels(params, cfg: Config, mels: list[np.ndarray],
 
     hop = cfg.audio.hop_size
     frames = [_usable_frames(m.shape[0], cfg) for m in mels]
-    pad_frames = max(frames)
-    if bucket_frames > 1:
-        pad_frames = -(-pad_frames // bucket_frames) * bucket_frames
-    while (pad_frames * hop) % cfg.model.squeeze_factor != 0:
-        pad_frames += 1
+    pad_frames = padded_frames(max(frames), cfg, bucket_frames)
 
     batch = np.zeros((n, pad_frames, cfg.audio.num_mels), np.float32)
     for i, m in enumerate(mels):

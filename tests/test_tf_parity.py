@@ -31,26 +31,40 @@ def test_upsample_matches_tf():
     np.testing.assert_allclose(np.array(out), fx["out"], atol=2e-5)
 
 
-def test_full_model_nll_matches_tf():
-    """Full-model parity: the composed model (upsample -> squeeze ->
-    ActNorm -> coupling/WaveNet -> change_order -> log_p/logdet) computed by
-    TF 2.21 with reference semantics (tools/gen_tf_full_model_fixture.py,
-    citing /root/reference/model.py:317-347) must be reproduced by our
-    forward THROUGH THE REAL CHECKPOINT IMPORTER — the north-star NLL
-    bits/dim parity check (BASELINE.md)."""
-    fx = _load("full_model_golden.npz")
+@pytest.mark.parametrize("variant", ["", "causal", "additive", "gin"])
+def test_full_model_nll_matches_tf(variant):
+    """Full-model parity across the reference's variant matrix: the
+    composed model (upsample -> squeeze -> ActNorm -> coupling/WaveNet ->
+    change_order -> log_p/logdet) computed by TF 2.21 with reference
+    semantics (tools/gen_tf_full_model_fixture.py, citing
+    /root/reference/model.py:317-347) must be reproduced by our forward
+    THROUGH THE REAL CHECKPOINT IMPORTER — the north-star NLL bits/dim
+    parity check (BASELINE.md).
+
+    Variants: causal convs (model.py:297 -> modules.py:13,30-31), additive
+    coupling (affine=False, model.py:137-139), and global conditioning with
+    the reference's g-drop semantics (model.py:313-336 + modules.py:189;
+    parity_drop_global_cond=True)."""
+    suffix = f"_{variant}" if variant else ""
+    fx = _load(f"full_model_golden{suffix}.npz")
     from flowavenet_tpu.checkpoint.tf_import import import_tf_checkpoint
     from flowavenet_tpu.config import ModelConfig
     from flowavenet_tpu.models.flowavenet import forward, reverse
 
     cfg = ModelConfig(n_block=2, n_flow=2, n_layer=2, filter_size=16,
-                      num_mels=8, upsample_scales=(4, 4))
+                      num_mels=8, upsample_scales=(4, 4),
+                      causal=(variant == "causal"),
+                      affine=(variant != "additive"),
+                      gin_channels=4 if variant == "gin" else -1,
+                      n_speakers=3,
+                      parity_drop_global_cond=(variant == "gin"))
     tf_vars = {k[len("var:"):]: fx[k] for k in fx.files
                if k.startswith("var:")}
     params = import_tf_checkpoint(tf_vars, cfg)
 
     x, c = jnp.asarray(fx["x"]), jnp.asarray(fx["c"])
-    log_p, logdet = forward(params, cfg, x, c, compute_dtype=jnp.float32)
+    g = jnp.asarray(fx["g"]) if variant == "gin" else None
+    log_p, logdet = forward(params, cfg, x, c, g, compute_dtype=jnp.float32)
     np.testing.assert_allclose(float(log_p), float(fx["log_p"]),
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(float(logdet), float(fx["logdet"]),
@@ -62,7 +76,7 @@ def test_full_model_nll_matches_tf():
     z_full = jnp.asarray(fx["z"])
     for _ in range(cfg.n_block):
         z_full = unsqueeze(z_full)
-    x_rec = reverse(params, cfg, z_full, c, compute_dtype=jnp.float32)
+    x_rec = reverse(params, cfg, z_full, c, g, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(x_rec), fx["x"], atol=5e-4)
 
 

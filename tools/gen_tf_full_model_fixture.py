@@ -1,19 +1,29 @@
-"""Generate the FULL-MODEL TF golden fixture for NLL parity.
+"""Generate FULL-MODEL TF golden fixtures for NLL parity — variant matrix.
 
-Builds a tiny (2 blocks x 2 flows x 2 layers) model with the REFERENCE's
+Builds tiny (2 blocks x 2 flows x 2 layers) models with the REFERENCE's
 exact semantics in TF 2.21 — upsample head (conv2d_transpose, WN axes [0,2],
 leaky_relu 0.4; /root/reference/model.py:301-311,398-404), squeeze layout
-2c+p (model.py:224-239), ActNorm (model.py:55-80), affine coupling +
-WaveNet coupling net (model.py:108-164, modules.py:62-189), change_order
-(model.py:166-174), loss heads (model.py:342-347) — under the reference's
-variable naming scheme (vocoder/FloWaveNet/Block_i/Flow_j/...), and saves:
+2c+p (model.py:224-239), ActNorm (model.py:55-80), affine OR additive
+coupling + WaveNet coupling net (model.py:108-164, modules.py:62-189),
+causal or non-causal convs (modules.py:12-15,30-31: pad d*(k-1) both sides
+then crop right == left pad), change_order (model.py:166-174), optional
+speaker embedding (model.py:313-314,330-334) WITH the reference's g-drop
+(modules.py:188-189: WaveNet.__call__ forwards only (x, c), so g shapes
+flow through squeeze/change_order but never reach the nets), loss heads
+(model.py:342-347) — under the reference's variable naming scheme
+(vocoder/FloWaveNet/Block_i/Flow_j/...), and saves per variant:
 
-  tests/fixtures/full_model_golden.npz
-    x, c                      inputs
+  tests/fixtures/full_model_golden[_<variant>].npz
+    x, c [, g]                inputs
     log_p, logdet             TF-computed golden values
+    z                         TF latent (for reverse-parity)
     var:<name>                every model variable, importer-consumable
 
-The parity test (tests/test_tf_parity.py) feeds the var: mapping through
+Variants: base (affine, non-causal, no gin), causal, additive
+(affine=False: out_b = in_b + net, logdet from ActNorms only,
+model.py:137-139), gin (gin_channels=4, n_speakers=3, g-drop parity).
+
+The parity test (tests/test_tf_parity.py) feeds each var: mapping through
 checkpoint/tf_import.py and asserts our forward reproduces (log_p, logdet).
 
 Run: python tools/gen_tf_full_model_fixture.py
@@ -38,10 +48,26 @@ UPSAMPLE_SCALES = (4, 4)          # hop = 16
 B, FRAMES = 2, 4
 HOP = int(np.prod(UPSAMPLE_SCALES))
 T = FRAMES * HOP
+GIN_CHANNELS, N_SPEAKERS = 4, 3
+
+VARIANTS = {
+    # name -> (affine, causal, gin)
+    "": (True, False, 0),
+    "causal": (True, True, 0),
+    "additive": (False, False, 0),
+    "gin": (True, False, GIN_CHANNELS),
+}
 
 rng = np.random.RandomState(2024)
 VARS: dict[str, np.ndarray] = {}
 _conv1d_counter = [0]
+
+
+def _reset_state(seed: int):
+    global rng
+    rng = np.random.RandomState(seed)
+    VARS.clear()
+    _conv1d_counter[0] = 0
 
 
 def _conv1d_name() -> str:
@@ -70,14 +96,21 @@ def wn_kernel(v, g):
     return (n * g).astype(np.float32)
 
 
-def conv1d(x, kern, bias, dilation=1):
-    """Reference Conv wrapper, non-causal: pad d*(k-1)//2 both sides
-    (modules.py:15,27)."""
+def conv1d(x, kern, bias, dilation=1, causal=False):
+    """Reference Conv wrapper (modules.py:12-15,27-31): non-causal pads
+    d*(k-1)//2 both sides; causal pads d*(k-1) both sides then crops the
+    right overhang (== left pad)."""
     k = kern.shape[0]
-    pad = dilation * (k - 1) // 2
+    if causal:
+        pad = dilation * (k - 1)
+    else:
+        pad = dilation * (k - 1) // 2
     xp = tf.pad(x, [[0, 0], [pad, pad], [0, 0]])
-    return tf.nn.conv1d(xp, kern, stride=1, padding="VALID",
-                        dilations=dilation) + bias
+    out = tf.nn.conv1d(xp, kern, stride=1, padding="VALID",
+                       dilations=dilation) + bias
+    if causal and pad != 0:
+        out = out[:, :-pad]
+    return out
 
 
 def conv1x1(x, kern, bias):
@@ -101,7 +134,11 @@ def change_order(x):
 # Build variables + forward, block by block (creation order mirrors the
 # reference: upsample first, then blocks/flows; within a WaveNet: front,
 # per-ResBlock [filter, gate, res, skip, filter_c, gate_c], final, zero —
-# the order the importer's keras-index tie-break assumes).
+# the order the importer's keras-index tie-break assumes.  The reference's
+# filter_g/gate_g convs are declared (modules.py:99-108) but NEVER BUILT:
+# WaveNet.__call__ drops g (modules.py:189) so their lazy Conv1D build never
+# runs and trained checkpoints contain no variables for them — the gin
+# fixture matches that).
 # --------------------------------------------------------------------------
 
 def make_upsample():
@@ -163,17 +200,19 @@ def make_wavenet(prefix: str, in_ch: int, out_ch: int, cin_ch: int):
     return w
 
 
-def apply_wavenet(w, x, c):
-    """modules.py:161-186 (gated units modules.py:110-128)."""
+def apply_wavenet(w, x, c, causal=False):
+    """modules.py:161-186 (gated units modules.py:110-128).  No g argument
+    on purpose: the reference's WaveNet.__call__ drops it (modules.py:189)."""
     fv, fgain, fb = w["front"]
-    h = tf.nn.relu(conv1d(x, wn_kernel(fv, fgain), fb, dilation=1))
+    h = tf.nn.relu(conv1d(x, wn_kernel(fv, fgain), fb, dilation=1,
+                          causal=causal))
     skip_sum = None
     for n, layer in enumerate(w["layers"]):
         d = 3 ** n                                     # modules.py:152
         filt = conv1d(h, wn_kernel(*layer["filter"][:2]),
-                      layer["filter"][2], dilation=d)
+                      layer["filter"][2], dilation=d, causal=causal)
         gate = conv1d(h, wn_kernel(*layer["gate"][:2]),
-                      layer["gate"][2], dilation=d)
+                      layer["gate"][2], dilation=d, causal=causal)
         filt += conv1x1(c, wn_kernel(*layer["filter_c"][:2]),
                         layer["filter_c"][2])
         gate += conv1x1(c, wn_kernel(*layer["gate_c"][:2]),
@@ -189,18 +228,25 @@ def apply_wavenet(w, x, c):
     return (conv1x1(out, zw, zb)) * tf.exp(zs * 3.0)   # modules.py:55-57
 
 
-def main():
-    os.makedirs(FIXDIR, exist_ok=True)
+def generate(variant: str):
+    affine, causal, gin = VARIANTS[variant]
+    _reset_state(2024 + sum(map(ord, variant)))
+
     x_np = (0.3 * rng.randn(B, T, 1)).astype(np.float32)
     c_np = rng.rand(B, FRAMES, NUM_MELS).astype(np.float32)
+    g_np = rng.randint(0, N_SPEAKERS, size=(B,)).astype(np.int32)
 
     up = make_upsample()
+    if gin > 0:
+        emb = (0.3 * rng.randn(N_SPEAKERS, gin)).astype(np.float32)
+        VARS[f"{SCOPE}/speaker_embeddings"] = emb
 
     # variables for all blocks/flows (creation order = reference order)
     blocks = []
     in_ch, cin_ch = 1, NUM_MELS
     for i in range(N_BLOCK):
         sq, sq_c = 2 * in_ch, 2 * cin_ch
+        out_ch = sq if affine else sq // 2   # model.py:115-116
         flows = []
         for j in range(N_FLOW):
             fp = f"{SCOPE}/Block_{i}/Flow_{j}"
@@ -209,7 +255,7 @@ def main():
             VARS[f"{fp}/ActNorm/b"] = an_b
             VARS[f"{fp}/ActNorm/logs"] = an_logs
             wn = make_wavenet(f"{fp}/AffineCoupling/WaveNet",
-                              sq // 2, sq, sq_c // 2)
+                              sq // 2, out_ch, sq_c // 2)
             flows.append((an_b, an_logs, wn))
         blocks.append(flows)
         in_ch, cin_ch = in_ch * 2, cin_ch * 2
@@ -217,24 +263,39 @@ def main():
     # ---- forward (model.py:317-347) ------------------------------------
     x = tf.constant(x_np)
     c = apply_upsample(c_np, up)
+    if gin > 0:
+        # model.py:330-334: lookup + tile over time
+        g = tf.nn.embedding_lookup(tf.constant(emb), tf.constant(g_np))
+        g = tf.tile(tf.expand_dims(g, 1), (1, int(c.shape[1]), 1))
+    else:
+        g = None
     logdet = tf.constant(0.0)
     for flows in blocks:
         x, c = squeeze(x), squeeze(c)                  # model.py:224-239
+        if g is not None:
+            g = squeeze(g)
         for an_b, an_logs, wn in flows:
             # ActNorm (model.py:55-80)
             x = (x + an_b) * tf.exp(an_logs * 3.0)
             logdet += tf.reduce_mean(an_logs * 3.0)
-            # AffineCoupling (model.py:121-135)
+            # AffineCoupling (model.py:121-139); g_a is split off
+            # (model.py:127-130) but NEVER consumed — WaveNet.__call__
+            # drops it (modules.py:189)
             ch = int(x.shape[-1])
             in_a, in_b = x[..., : ch // 2], x[..., ch // 2:]
             c_a = c[..., : int(c.shape[-1]) // 2]
-            net = apply_wavenet(wn, in_a, c_a)
-            log_s, t = net[..., : ch // 2], net[..., ch // 2:]
-            out_b = (in_b - t) * tf.exp(-log_s)
-            logdet += tf.reduce_mean(-log_s) / 2.0
+            net = apply_wavenet(wn, in_a, c_a, causal=causal)
+            if affine:
+                log_s, t = net[..., : ch // 2], net[..., ch // 2:]
+                out_b = (in_b - t) * tf.exp(-log_s)
+                logdet += tf.reduce_mean(-log_s) / 2.0
+            else:
+                out_b = in_b + net                     # model.py:137-139
             x = tf.concat([in_a, out_b], axis=-1)
-            # change_order (model.py:166-174, applied to x and c)
+            # change_order (model.py:166-174, applied to x, c and g)
             x, c = change_order(x), change_order(c)
+            if g is not None:
+                g = change_order(g)
     z = x
     log_p = tf.reduce_mean(0.5 * (-math.log(2 * math.pi) - z ** 2))
 
@@ -242,12 +303,21 @@ def main():
            "log_p": np.float32(log_p.numpy()),
            "logdet": np.float32(logdet.numpy()),
            "z": z.numpy()}
+    if gin > 0:
+        out["g"] = g_np
     for k, v in VARS.items():
         out[f"var:{k}"] = v
-    path = os.path.join(FIXDIR, "full_model_golden.npz")
+    suffix = f"_{variant}" if variant else ""
+    path = os.path.join(FIXDIR, f"full_model_golden{suffix}.npz")
     np.savez(path, **out)
-    print(f"full_model_golden: log_p={out['log_p']:.6f} "
+    print(f"full_model_golden{suffix}: log_p={out['log_p']:.6f} "
           f"logdet={out['logdet']:.6f} vars={len(VARS)} -> {path}")
+
+
+def main():
+    os.makedirs(FIXDIR, exist_ok=True)
+    for variant in VARIANTS:
+        generate(variant)
 
 
 if __name__ == "__main__":
