@@ -25,13 +25,14 @@ from __future__ import annotations
 
 import functools
 import math
-import os as _os
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
+from ..utils.flags import INT8 as _INT8_FLAG, env_flag as _env_flag
+from ..utils.flags import env_int as _env_int
 from ..ops.squeeze import (change_order, squeeze, squeeze_to_level,
                            unsqueeze)
 from .modules import apply_wavenet, init_wavenet
@@ -272,18 +273,19 @@ PAIR_KERNEL_CPU_INTERPRET = False
 # F(2,3): 1.5x fewer MXU FLOPs on the dominant filter|gate convs;
 # F(4,3) (12-phase planes): 2x fewer.  PAIR_KERNEL_WINO4 picks F(4,3)
 # where Winograd routes at all.
-PAIR_KERNEL_WINO = bool(int(_os.environ.get("FWN_WINO", "1")))
+PAIR_KERNEL_WINO = _env_flag("FWN_WINO", default=True)
 # F(4,3) measured SLOWER than F(2,3) at production tiles (b96 x 4s:
 # block 1 300 vs 265 ms) — per-phase matmul M halves, MXU pipeline
 # fill/drain dominates.  Off pending larger-tile tuning.
-PAIR_KERNEL_WINO4 = bool(int(_os.environ.get("FWN_WINO4", "0")))
-PAIR_KERNEL_WINO_MAX_CC = int(_os.environ.get("FWN_WINO_MAX_CC", "320"))
+PAIR_KERNEL_WINO4 = _env_flag("FWN_WINO4")
+PAIR_KERNEL_WINO_MAX_CC = _env_int("FWN_WINO_MAX_CC", 320)
 
 # EXPERIMENTAL int8 MXU for the direct kernel's filter|gate convs
 # (FWN_INT8=1): 2x bf16 peak, adds ~0.8% weight quantization noise.
 # Replaces the Winograd route for blocks 0-3 when on (int8 and the
 # Winograd transform don't compose).  Opt-in only; see docs/benchmarks.md.
-PAIR_KERNEL_INT8 = bool(_os.environ.get("FWN_INT8"))
+# Single source of truth: utils/flags.py (shared with ops/pallas_flow.py).
+PAIR_KERNEL_INT8 = _INT8_FLAG
 
 # Hoisted-conditioning pair kernel for the deep blocks.  Measured at
 # t_tile 1024 (b96 x 4s) it LOSES to in-model XLA (e2e 1205 vs 1108 ms;
@@ -292,9 +294,34 @@ PAIR_KERNEL_INT8 = bool(_os.environ.get("FWN_INT8"))
 PAIR_KERNEL_HOISTED = False
 PAIR_KERNEL_HOISTED_T_TILE = 1024
 
+# Batch packing for the Winograd kernels: nb consecutive batch items share
+# each plane row, so every per-plane matmul's M grows from t_tile/P (160
+# at the production tile) to nb*t_tile/P — attacking the measured small-M
+# MXU underutilization (65-71% vs XLA's 83-93% on deep blocks) with ZERO
+# in-VMEM copies (the pack rides the existing de-interleave transpose).
+PAIR_KERNEL_PACK = _env_int("FWN_PACK", 1)
 
-def _pair_kernel_eligible(cfg: ModelConfig, cc_half: int,
-                          has_g: bool) -> bool:
+
+def _pack_factor(batch: int) -> int:
+    """Largest usable packing factor <= FWN_PACK that divides the batch."""
+    nb = max(1, min(PAIR_KERNEL_PACK, batch))
+    while batch % nb:
+        nb -= 1
+    return nb
+
+
+# Block-fused chain: run ALL n_flow/2 pairs of a block in ONE kernel
+# launch (ops/pallas_flow.py fused_chain_reverse*).  Reads u/v/c once per
+# block instead of once per pair and deletes the inter-pair de/re-
+# interleave glue.  MEASURED (b128 x 3.83 s, v5e): 1327.7 ms vs 1180.7
+# per-pair — the c re-reads it saves are cheap (compute-bound kernels)
+# while the chained halo regions add ~7% MXU work and the 3x-longer grid
+# steps pipeline worse.  Default OFF for throughput; the knob remains for
+# dispatch-bound small-batch latency experiments.
+PAIR_KERNEL_CHAIN = _env_flag("FWN_CHAIN", default=False)
+
+
+def _pair_kernel_eligible(cfg: ModelConfig, has_g: bool) -> bool:
     """Base eligibility for the fused pair-flow reverse kernels
     (ops/pallas_flow.py): affine, non-causal, n_layer == 2, no global
     conditioning.  Which VARIANT runs is decided by _pair_kernel_mode."""
@@ -307,7 +334,7 @@ def _pair_kernel_eligible(cfg: ModelConfig, cc_half: int,
 def _pair_kernel_mode(cfg: ModelConfig, cc_half: int,
                       has_g: bool) -> Optional[str]:
     """'wino' | 'direct' | 'hoisted' | None, by conditioning width."""
-    if not _pair_kernel_eligible(cfg, cc_half, has_g):
+    if not _pair_kernel_eligible(cfg, has_g):
         return None
     if PAIR_KERNEL_INT8 and cc_half <= PAIR_KERNEL_MAX_CC:
         return "int8"
@@ -454,30 +481,38 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
                 # Winograd (F(4,3) 12-phase / F(2,3) 6-phase) for the
                 # narrow-cond blocks; direct-conv kernel otherwise
                 # (docs/benchmarks.md).
-                # NOTE: pre-windowing c once per block (it is pair-constant)
-                # saves ~9 GB of HBM round trips per early block but keeps
-                # a second full-size c copy live for the whole block (raw c
-                # must survive for the closing unsqueeze) — measured HBM
-                # OOM at the b96 x 4s bench shape, so windows stay per-pair.
+                nb = _pack_factor(u.shape[0])
                 if mode == "wino4":
                     make_ops = pf.pair_reverse_operands_wino4
-                    run = functools.partial(pf.fused_pair_reverse_wino,
-                                            phases=12)
+                    run = functools.partial(pf.fused_chain_reverse_wino,
+                                            phases=12, nb=nb)
                 elif mode == "wino":
                     make_ops = pf.pair_reverse_operands_wino
-                    run = pf.fused_pair_reverse_wino
+                    run = functools.partial(pf.fused_chain_reverse_wino,
+                                            nb=nb)
                 elif mode == "int8":
                     make_ops = pf.pair_reverse_operands_int8
-                    run = functools.partial(pf.fused_pair_reverse,
+                    run = functools.partial(pf.fused_chain_reverse,
                                             int8=True)
                 else:
                     make_ops = pf.pair_reverse_operands
-                    run = pf.fused_pair_reverse
-                for i in reversed(range(n_pair)):
-                    pair = jax.tree.map(lambda l, _i=i: l[_i], pp)
-                    u, v = run(u, v, c_a, c_b,
-                               make_ops(pair, dtype=x.dtype),
+                    run = pf.fused_chain_reverse
+                if PAIR_KERNEL_CHAIN:
+                    # whole block in ONE launch: all pairs' folded weights
+                    # ride VMEM together; u/v/c are read once
+                    ops = pf.stack_chain_operands([
+                        make_ops(jax.tree.map(lambda l, _i=i: l[_i], pp),
+                                 dtype=x.dtype)
+                        for i in range(n_pair)])
+                    u, v = run(u, v, c_a, c_b, ops, n_pair=n_pair,
                                interpret=interp)
+                else:
+                    for i in reversed(range(n_pair)):
+                        pair = jax.tree.map(lambda l, _i=i: l[_i], pp)
+                        u, v = run(u, v, c_a, c_b,
+                                   pf.stack_chain_operands(
+                                       [make_ops(pair, dtype=x.dtype)]),
+                                   n_pair=1, interpret=interp)
         else:
             assert not isinstance(c_a, tuple), \
                 "pre-tiled cond requires a wino kernel route"
@@ -671,8 +706,10 @@ def reverse(params: dict, cfg: ModelConfig, z: jax.Array, c: jax.Array,
                 # the plane de-interleave, once per block (pair-constant)
                 from ..ops import pallas_flow as pf
                 P = 12 if mode == "wino4" else 6
-                c_halves = (pf.wino_cond_tiles(c_lo, k, P),
-                            pf.wino_cond_tiles(c_hi, k, P))
+                n_pair_k = cfg.n_flow // 2 if PAIR_KERNEL_CHAIN else 1
+                nb = _pack_factor(z.shape[0])
+                c_halves = (pf.wino_cond_tiles(c_lo, k, P, n_pair_k, nb),
+                            pf.wino_cond_tiles(c_hi, k, P, n_pair_k, nb))
             else:
                 c_halves = (squeeze_to_level(c_lo, k),
                             squeeze_to_level(c_hi, k))

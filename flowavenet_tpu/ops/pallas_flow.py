@@ -56,10 +56,9 @@ SQRT_HALF = 0.7071067811865476
 # are the kernel's main non-MXU cost) at ~1e-2 relative gate error — below
 # the bf16 rounding already present on every matmul edge.  Default fp32
 # until quality-checked end to end; FWN_GATE_BF16=1 flips it (bench knob).
-import os as _os
+from ..utils.flags import env_flag as _env_flag, env_int as _env_int
 
-GATE_DTYPE = (jnp.bfloat16 if _os.environ.get("FWN_GATE_BF16")
-              else jnp.float32)
+GATE_DTYPE = jnp.bfloat16 if _env_flag("FWN_GATE_BF16") else jnp.float32
 
 # Accumulation dtype for the kernels' conv/skip/final chains.  fp32
 # bit-matches the XLA path; bfloat16 halves the VPU cost of the adds,
@@ -67,19 +66,11 @@ GATE_DTYPE = (jnp.bfloat16 if _os.environ.get("FWN_GATE_BF16")
 # measured block 0 b96 x 4s: direct (57 TF) 444 ms vs wino6 (39.5 TF)
 # 402 ms, within 10% despite a 1.5x MXU FLOP gap.  FWN_ACC_BF16=1 flips
 # it (bench knob; default fp32 until quality-checked).
-ACC_DTYPE = (jnp.bfloat16 if _os.environ.get("FWN_ACC_BF16")
-             else jnp.float32)
-
-# EXPERIMENTAL: int8 MXU for the filter|gate convs of the DIRECT kernel
-# (2x bf16 peak on v5e).  Per-tile activation scale (max-abs), per-output-
-# channel weight scale, int32 accumulation.  Opt-in — adds quantization
-# noise on top of bf16; quality deltas are measured by
-# tools/verify_kernels_tpu.py and documented in docs/benchmarks.md.
-INT8_FG = bool(_os.environ.get("FWN_INT8"))
+ACC_DTYPE = jnp.bfloat16 if _env_flag("FWN_ACC_BF16") else jnp.float32
 
 # Grid dimension semantics: tiles are independent, so "parallel" lets
 # Mosaic overlap adjacent grid steps; FWN_GRID_ARBITRARY=1 reverts.
-_GRID_ARBITRARY = bool(_os.environ.get("FWN_GRID_ARBITRARY"))
+_GRID_ARBITRARY = _env_flag("FWN_GRID_ARBITRARY")
 
 
 def _conv3_int8(buf, wq, wscale, *, off: int, length: int,
@@ -128,7 +119,7 @@ def _conv3(buf, w, *, off: int, length: int, dilation: int):
 
 # Timing probe: FWN_NO_MASK=1 skips ALL edge masking (numerically wrong at
 # sequence edges; bounds the masks' VPU cost).
-_NO_MASK = bool(_os.environ.get("FWN_NO_MASK"))
+_NO_MASK = _env_flag("FWN_NO_MASK")
 
 
 def _mask_valid(x, row0, T: int):
@@ -149,7 +140,7 @@ def _mask_valid(x, row0, T: int):
     return jnp.where((pos >= 0) & (pos < T), x, jnp.zeros_like(x))
 
 
-_NO_GATE = bool(_os.environ.get("FWN_NO_GATE"))  # timing probe: skip tanh/sig
+_NO_GATE = _env_flag("FWN_NO_GATE")  # timing probe: skip tanh/sig
 
 
 def _gated(fg, r: int, dtype):
@@ -263,88 +254,123 @@ def _win_cat(tile_ref, halo_ref, halo: int):
     return jnp.concatenate([h[:halo], t, h[halo:]], axis=0)
 
 
+def _chain_halo(n_pair: int) -> int:
+    """Halo rows per side for an n_pair chain: each executed pair consumes
+    10 rows/side (coupling RF 5 + 5), rounded up to sublane alignment."""
+    return max(HALO, 8 * (-(-10 * n_pair // 8)))
+
+
 def _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref, cbt_ref,
                  cbh_ref, front_w, front_b, kfg,
                  cond_w, cond_b, res_w, res_b, skip_w, skip_b, fin_w, fin_b,
                  zw, zb, an_s, an_b, u_out, v_out,
-                 *, t_tile: int, n_t: int, T: int):
+                 *, t_tile: int, n_t: int, T: int, n_pair: int = 1):
+    """Fused reverse chain of ``n_pair`` flow pairs (one whole block when
+    n_pair = n_flow/2).  Weight operands carry leading axes
+    [n_pair, 2(flow even/odd), ...]; pairs execute in reversed index order
+    (the block's inverse).  Each pair consumes 10 rows of margin per side;
+    u/v are re-masked outside [0, T) between pairs so the chain is
+    numerically identical to n_pair separate kernel launches (which re-read
+    zero-padded HBM tiles each time)."""
     g = pl.program_id(0)
     f32 = jnp.float32
+    halo = _chain_halo(n_pair)
 
     dtype = u_out.dtype
-    u = _win_cat(ut_ref, uh_ref, HALO)  # [win, R_in]; row j = pos j-HALO
-    v = _win_cat(vt_ref, vh_ref, HALO)
-    ca = _win_cat(cat_ref, cah_ref, HALO)
-    cb = _win_cat(cbt_ref, cbh_ref, HALO)
+    u = _win_cat(ut_ref, uh_ref, halo)  # [win, R_in]; row j = pos j-halo
+    v = _win_cat(vt_ref, vh_ref, halo)
+    ca = _win_cat(cat_ref, cah_ref, halo)
+    cb = _win_cat(cbt_ref, cbh_ref, halo)
     r_in = u.shape[-1]
-
-    def flow_w(i):
-        k_i = ((kfg[0][i], kfg[1][i]) if isinstance(kfg, tuple)
-               else kfg[i])
-        return dict(front_w=front_w[i], front_b=front_b[i], kfg=k_i,
-                    cond_w=None if cond_w is None else cond_w[i],
-                    cond_b=cond_b[i], res_w=res_w[i],
-                    res_b=res_b[i], skip_w=skip_w[i], skip_b=skip_b[i],
-                    fin_w=fin_w[i], fin_b=fin_b[i], zw=zw[i], zb=zb[i])
-
-    # ---- flow pair, reverse order (odd first) --------------------------
     tile_start = (g % n_t) * t_tile
-    # couple(odd): u' = u*exp(log_s(v)) + t(v), needed over [-5, Tt+5)
-    l_mid = t_tile + 10
-    net = _coupling_net(v, cb, x_off=HALO - 5, c_off=HALO - 5,
-                        out_len=l_mid, row0=tile_start - 5, T=T,
-                        dtype=dtype, **flow_w(1))
-    log_s, t = net[:, :r_in], net[:, r_in:]
-    u_mid = jax.lax.slice_in_dim(u, HALO - 5, HALO - 5 + l_mid, axis=0)
-    u_mid = u_mid.astype(f32) * jnp.exp(log_s) + t
-    # actnorm reverse (odd): v half0, u half1
-    v_an = (jax.lax.slice_in_dim(v, HALO, HALO + t_tile, axis=0).astype(f32)
-            * an_s[1, 0].astype(f32) - an_b[1, 0].astype(f32))
-    u_mid = (u_mid * an_s[1, 1].astype(f32)
-             - an_b[1, 1].astype(f32)).astype(dtype)
-    # zero u' outside the sequence before couple2's convs consume it
-    u_mid = _mask_valid(u_mid, tile_start - 5, T)
 
-    # couple(even): v' = v*exp(log_s(u')) + t(u'), needed over [0, Tt)
-    net2 = _coupling_net(u_mid, ca, x_off=5, c_off=HALO,
-                         out_len=t_tile, row0=tile_start, T=T,
-                         dtype=dtype, **flow_w(0))
-    log_s2, t2 = net2[:, :r_in], net2[:, r_in:]
-    v_new = v_an * jnp.exp(log_s2) + t2
-    # actnorm reverse (even): u half0, v half1
-    u_fin = (jax.lax.slice_in_dim(u_mid, 5, 5 + t_tile, axis=0).astype(f32)
-             * an_s[0, 0].astype(f32) - an_b[0, 0].astype(f32))
-    v_fin = v_new * an_s[0, 1].astype(f32) - an_b[0, 1].astype(f32)
+    def flow_w(pi, fi):
+        k_i = ((kfg[0][pi, fi], kfg[1][pi, fi]) if isinstance(kfg, tuple)
+               else kfg[pi, fi])
+        return dict(front_w=front_w[pi, fi], front_b=front_b[pi, fi],
+                    kfg=k_i,
+                    cond_w=None if cond_w is None else cond_w[pi, fi],
+                    cond_b=cond_b[pi, fi], res_w=res_w[pi, fi],
+                    res_b=res_b[pi, fi], skip_w=skip_w[pi, fi],
+                    skip_b=skip_b[pi, fi], fin_w=fin_w[pi, fi],
+                    fin_b=fin_b[pi, fi], zw=zw[pi, fi], zb=zb[pi, fi])
 
-    u_out[0] = u_fin.astype(dtype)
-    v_out[0] = v_fin.astype(dtype)
+    off = 0  # rows consumed per side so far; buffer row 0 = window row off
+    for s in range(n_pair):
+        i = n_pair - 1 - s          # pair index (reversed execution)
+        row0 = tile_start - halo + off  # global position of buffer row 0
+        L = u.shape[0]
+        l_mid = L - 10
+        # couple(odd): u' = u*exp(log_s(v)) + t(v) over buffer rows
+        # [5, 5+l_mid)
+        net = _coupling_net(v, cb, x_off=5, c_off=off + 5, out_len=l_mid,
+                            row0=row0 + 5, T=T, dtype=dtype,
+                            **flow_w(i, 1))
+        log_s, t = net[:, :r_in], net[:, r_in:]
+        u_mid = jax.lax.slice_in_dim(u, 5, 5 + l_mid, axis=0)
+        u_mid = u_mid.astype(f32) * jnp.exp(log_s) + t
+        # actnorm reverse (odd): v half0, u half1
+        v_an = (jax.lax.slice_in_dim(v, 5, 5 + l_mid, axis=0).astype(f32)
+                * an_s[i, 1, 0].astype(f32) - an_b[i, 1, 0].astype(f32))
+        u_mid = (u_mid * an_s[i, 1, 1].astype(f32)
+                 - an_b[i, 1, 1].astype(f32)).astype(dtype)
+        # zero u' outside the sequence before couple2's convs consume it
+        u_mid = _mask_valid(u_mid, row0 + 5, T)
+
+        # couple(even): v' = v*exp(log_s(u')) + t(u') over [10, L-10)
+        l_out = L - 20
+        net2 = _coupling_net(u_mid, ca, x_off=5, c_off=off + 10,
+                             out_len=l_out, row0=row0 + 10, T=T,
+                             dtype=dtype, **flow_w(i, 0))
+        log_s2, t2 = net2[:, :r_in], net2[:, r_in:]
+        v_new = (jax.lax.slice_in_dim(v_an, 5, 5 + l_out, axis=0)
+                 * jnp.exp(log_s2) + t2)
+        # actnorm reverse (even): u half0, v half1
+        u_fin = (jax.lax.slice_in_dim(u_mid, 5, 5 + l_out, axis=0)
+                 .astype(f32)
+                 * an_s[i, 0, 0].astype(f32) - an_b[i, 0, 0].astype(f32))
+        v_fin = v_new * an_s[i, 0, 1].astype(f32) - an_b[i, 0, 1].astype(f32)
+        u = u_fin.astype(dtype)
+        v = v_fin.astype(dtype)
+        off += 10
+        if s < n_pair - 1:
+            # the next pair's convs consume u AND v as net inputs: both
+            # must be zero outside the sequence (reference zero-pads every
+            # conv input; the per-pair path gets this from fresh padded
+            # HBM tiles)
+            u = _mask_valid(u, row0 + 10, T)
+            v = _mask_valid(v, row0 + 10, T)
+
+    extra = halo - 10 * n_pair  # alignment slack: crop to the tile
+    u_out[0] = jax.lax.slice_in_dim(u, extra, extra + t_tile, axis=0)
+    v_out[0] = jax.lax.slice_in_dim(v, extra, extra + t_tile, axis=0)
 
 
 def _pair_kernel_i8(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
                     cbt_ref, cbh_ref, front_w, front_b, kfg, cond_w,
                     cond_b, res_w, res_b, skip_w, skip_b, fin_w, fin_b,
                     zw, zb, an_s, an_b, kfg_scale, u_out, v_out,
-                    *, t_tile: int, n_t: int, T: int):
+                    *, t_tile: int, n_t: int, T: int, n_pair: int = 1):
     """int8-fg variant: kfg is int8 with trailing per-channel scales."""
     _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
                  cbt_ref, cbh_ref, front_w, front_b, (kfg, kfg_scale),
                  cond_w, cond_b, res_w, res_b, skip_w, skip_b, fin_w,
                  fin_b, zw, zb, an_s, an_b, u_out, v_out,
-                 t_tile=t_tile, n_t=n_t, T=T)
+                 t_tile=t_tile, n_t=n_t, T=T, n_pair=n_pair)
 
 
 def _pair_kernel_hoisted(ut_ref, uh_ref, vt_ref, vh_ref, cet_ref, ceh_ref,
                          cot_ref, coh_ref, front_w, front_b,
                          kfg, cond_b, res_w, res_b, skip_w, skip_b, fin_w,
                          fin_b, zw, zb, an_s, an_b, u_out, v_out,
-                         *, t_tile: int, n_t: int, T: int):
+                         *, t_tile: int, n_t: int, T: int, n_pair: int = 1):
     """Hoisted-conditioning variant: ce/co are the precomputed per-layer
     conditioning pre-activations (even/odd flow), not raw c."""
     _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cet_ref, ceh_ref, cot_ref,
                  coh_ref, front_w, front_b, kfg,
                  None, cond_b, res_w, res_b, skip_w, skip_b, fin_w, fin_b,
                  zw, zb, an_s, an_b, u_out, v_out,
-                 t_tile=t_tile, n_t=n_t, T=T)
+                 t_tile=t_tile, n_t=n_t, T=T, n_pair=n_pair)
 
 
 def _wn(p, stacked_axis=None):
@@ -465,26 +491,34 @@ def _tiles_and_halos(x, t_tile: int, n_t: int, T_pad: int, halo: int):
 
 
 def _plane_halos(v, hr: int):
-    """Halo slivers [B, n_t, P, 2*hr, C] for plane-ified tiles v."""
-    B, n_t, P, rows, C = v.shape
-    z = jnp.zeros((B, 1, P, hr, C), v.dtype)
+    """Halo slivers [B, n_t, P, 2*hr, (nb,) C] for plane-ified tiles v
+    (works on both plain 5-D and batch-packed 6-D layouts — the plane-row
+    axis is 3 in both)."""
+    n_t = v.shape[1]
+    z = jnp.zeros((v.shape[0], 1, v.shape[2], hr) + v.shape[4:], v.dtype)
     if n_t > 1:
-        lefts = jnp.concatenate([z, v[:, :-1, :, -hr:, :]], axis=1)
-        rights = jnp.concatenate([v[:, 1:, :, :hr, :], z], axis=1)
+        lefts = jnp.concatenate([z, v[:, :-1, :, -hr:]], axis=1)
+        rights = jnp.concatenate([v[:, 1:, :, :hr], z], axis=1)
     else:
         lefts = rights = z
     return jnp.concatenate([lefts, rights], axis=3)
 
 
 def _tiles_and_halos_wino(x, t_tile: int, n_t: int, T_pad: int, P: int,
-                          halo: int):
-    """Plane de-interleaved tiles [B, n_t, P, t_tile/P, C] (one transpose)
-    + halo slivers [B, n_t, P, 2*halo/P, C].  Phase alignment holds because
-    t_tile % P == 0 and halo % P == 0 (global phase == tile-local phase)."""
+                          halo: int, nb: int = 1):
+    """Plane de-interleaved tiles [B(/nb), n_t, P, t_tile/P, (nb,) C] (one
+    transpose) + halo slivers [.., 2*halo/P, (nb,) C].  Phase alignment
+    holds because t_tile % P == 0 and halo % P == 0 (global phase ==
+    tile-local phase).  ``nb``: batch packing — nb consecutive batch items
+    share each plane row (kernel matmul M becomes rows*nb)."""
     B, T, C = x.shape
     xp = x if T == T_pad else jnp.pad(x, ((0, 0), (0, T_pad - T), (0, 0)))
-    v = xp.reshape(B, n_t, t_tile // P, P, C)
-    v = jnp.transpose(v, (0, 1, 3, 2, 4))        # [B, n_t, P, tt/P, C]
+    if nb == 1:
+        v = xp.reshape(B, n_t, t_tile // P, P, C)
+        v = jnp.transpose(v, (0, 1, 3, 2, 4))    # [B, n_t, P, tt/P, C]
+    else:
+        v = xp.reshape(B // nb, nb, n_t, t_tile // P, P, C)
+        v = jnp.transpose(v, (0, 2, 4, 3, 1, 5))  # [Bc,n_t,P,tt/P,nb,C]
     return v, _plane_halos(v, halo // P)
 
 
@@ -504,14 +538,16 @@ def _fit_tile(T: int, base: int, align: int, min_tile: int):
     return tt, n, n * tt
 
 
-def _wino_geometry(T: int, P: int):
-    """(t_tile, n_t, T_pad) for the Winograd kernels at level length T."""
+def _wino_geometry(T: int, P: int, n_pair: int = 1):
+    """(t_tile, n_t, T_pad) for the Winograd kernels at level length T.
+    ``n_pair``: chain length — tiles must hold at least the chain's halo
+    (6 plane rows per pair per side)."""
     base_tile = WINO_T_TILE if P == 6 else WINO4_T_TILE
-    min_tile = -(-(6 * P) // 48) * 48
+    min_tile = -(-(6 * P * n_pair) // 48) * 48
     return _fit_tile(T, base_tile, 48, min_tile)
 
 
-def wino_cond_tiles(c_half, k: int, P: int):
+def wino_cond_tiles(c_half, k: int, P: int, n_pair: int = 1, nb: int = 1):
     """Level-k conditioning tiles+halos for the Winograd kernels, built
     DIRECTLY from the (half-)mel tensor in one transpose.
 
@@ -519,27 +555,45 @@ def wino_cond_tiles(c_half, k: int, P: int):
     but fuses the level extraction and the plane de-interleave, and runs
     once per block (c is pair-constant) instead of per pair.  Time index
     algebra: t0 = 2^k*(tile*tt + P*j + q) + delta, target channel
-    2^k*m + bitrev(delta)."""
+    2^k*m + bitrev(delta).  ``n_pair`` sizes the halo for chain kernels;
+    ``nb`` batch-packs nb items per plane row (same single transpose)."""
     B, T0, C0 = c_half.shape
     Tk = T0 >> k
-    t_tile, n_t, T_pad = _wino_geometry(Tk, P)
+    t_tile, n_t, T_pad = _wino_geometry(Tk, P, n_pair)
     rows = t_tile // P
     if T_pad != Tk:
         c_half = jnp.pad(
             c_half, ((0, 0), (0, (T_pad - Tk) << k), (0, 0)))
-    v = c_half.reshape((B, n_t, rows, P) + (2,) * k + (C0,))
-    # axes: 0 B, 1 n_t, 2 j(rows), 3 q(P), 4..3+k delta bits (MSB..LSB),
-    # 4+k C0.  Target: [B, n_t, q, j, m, p1(=LSB)..pk(=MSB)].
-    perm = (0, 1, 3, 2, 4 + k) + tuple(range(3 + k, 3, -1))
-    v = v.transpose(perm).reshape(B, n_t, P, rows, C0 << k)
-    return v, _plane_halos(v, 6)
+    if nb == 1:
+        v = c_half.reshape((B, n_t, rows, P) + (2,) * k + (C0,))
+        # axes: 0 B, 1 n_t, 2 j(rows), 3 q(P), 4..3+k delta bits
+        # (MSB..LSB), 4+k C0.  Target: [B, n_t, q, j, m, p1..pk].
+        perm = (0, 1, 3, 2, 4 + k) + tuple(range(3 + k, 3, -1))
+        v = v.transpose(perm).reshape(B, n_t, P, rows, C0 << k)
+    else:
+        v = c_half.reshape((B // nb, nb, n_t, rows, P) + (2,) * k + (C0,))
+        # axes: 0 Bc, 1 nb, 2 n_t, 3 j, 4 q, 5..4+k bits, 5+k C0.
+        # Target: [Bc, n_t, q, j, nb, m, p1..pk].
+        perm = (0, 2, 4, 3, 1, 5 + k) + tuple(range(4 + k, 4, -1))
+        v = v.transpose(perm).reshape(B // nb, n_t, P, rows, nb, C0 << k)
+    return v, _plane_halos(v, 6 * n_pair)
 
 
-def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
-                       interpret: bool = False, hoisted: bool = False,
-                       int8: bool = False):
-    """Apply one reverse flow pair. u, v: [B, T, R_in]; c_*: [B, T, Cc].
-    ``operands`` from pair_reverse_operands.  Returns (u', v').
+def stack_chain_operands(per_pair_ops: list[tuple]) -> tuple:
+    """Stack per-pair operand tuples (from pair_reverse_operands*) on a new
+    leading n_pair axis for the chain kernels."""
+    return tuple(jnp.stack(parts) for parts in zip(*per_pair_ops))
+
+
+def fused_chain_reverse(u, v, c_a, c_b, operands, *, n_pair: int,
+                        t_tile: int = 1024, interpret: bool = False,
+                        hoisted: bool = False, int8: bool = False):
+    """Apply a chain of ``n_pair`` reverse flow pairs (one whole block) in
+    ONE kernel launch.  u, v: [B, T, R_in]; c_*: [B, T, Cc]; ``operands``
+    from stack_chain_operands (leading axes [n_pair, 2, ...]).  Returns
+    (u', v').  Relative to n_pair separate launches this reads u, v and
+    both c halves from HBM once instead of n_pair times and deletes the
+    intermediate u/v round trips.
 
     ``hoisted=True``: c_a/c_b are the precomputed conditioning
     pre-activations for the even/odd flow ([B, T, n_layer*2R], from
@@ -547,17 +601,19 @@ def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
     cond_w."""
     B, T, R_in = u.shape
     dtype = u.dtype
-    t_tile, n_t, T_pad = _fit_tile(T, t_tile, 16, HALO)
+    halo = _chain_halo(n_pair)
+    t_tile, n_t, T_pad = _fit_tile(T, t_tile, 16, halo)
 
-    ut, uh = _tiles_and_halos(u, t_tile, n_t, T_pad, HALO)
-    vt, vh = _tiles_and_halos(v, t_tile, n_t, T_pad, HALO)
-    cat, cah = _tiles_and_halos(c_a, t_tile, n_t, T_pad, HALO)
-    cbt, cbh = _tiles_and_halos(c_b, t_tile, n_t, T_pad, HALO)
+    ut, uh = _tiles_and_halos(u, t_tile, n_t, T_pad, halo)
+    vt, vh = _tiles_and_halos(v, t_tile, n_t, T_pad, halo)
+    cat, cah = _tiles_and_halos(c_a, t_tile, n_t, T_pad, halo)
+    cbt, cbh = _tiles_and_halos(c_b, t_tile, n_t, T_pad, halo)
     Cc = c_a.shape[-1]
 
     kern = (_pair_kernel_hoisted if hoisted
             else _pair_kernel_i8 if int8 else _pair_kernel)
-    kernel = functools.partial(kern, t_tile=t_tile, n_t=n_t, T=T)
+    kernel = functools.partial(kern, t_tile=t_tile, n_t=n_t, T=T,
+                               n_pair=n_pair)
     grid = (B * n_t,)
 
     def in_map(g):
@@ -571,7 +627,7 @@ def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
                             memory_space=pltpu.VMEM)
 
     def halo_spec(C):
-        return pl.BlockSpec((1, 1, 2 * HALO, C), in_map,
+        return pl.BlockSpec((1, 1, 2 * halo, C), in_map,
                             memory_space=pltpu.VMEM)
 
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -595,10 +651,10 @@ def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
         ],
         out_shape=[jax.ShapeDtypeStruct((B, T_pad, R_in), dtype)] * 2,
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * flops_net,
+            flops=2 * B * n_pair * flops_net,
             bytes_accessed=(ut.size + vt.size + cat.size + cbt.size
                             + 2 * B * T_pad * R_in) * dtype.itemsize,
-            transcendentals=2 * B * T * 512 * 2,
+            transcendentals=2 * B * T * n_pair * 512 * 2,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) if _GRID_ARBITRARY
@@ -609,6 +665,18 @@ def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
     if T_pad != T:
         u2, v2 = u2[:, :T], v2[:, :T]
     return u2, v2
+
+
+def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
+                       interpret: bool = False, hoisted: bool = False,
+                       int8: bool = False):
+    """Apply one reverse flow pair. u, v: [B, T, R_in]; c_*: [B, T, Cc].
+    ``operands`` from pair_reverse_operands.  Returns (u', v').
+    Single-pair special case of fused_chain_reverse."""
+    return fused_chain_reverse(u, v, c_a, c_b,
+                               stack_chain_operands([operands]),
+                               n_pair=1, t_tile=t_tile, interpret=interpret,
+                               hoisted=hoisted, int8=int8)
 
 
 # ===========================================================================
@@ -636,7 +704,7 @@ def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
 # 160 plane rows = t_tile.
 # ===========================================================================
 
-WINO_T_TILE = int(_os.environ.get("FWN_WINO_TT", "960"))
+WINO_T_TILE = _env_int("FWN_WINO_TT", 960, multiple_of=48)
 WINO_HALO = 36
 
 # F(4,3) (12-phase) variant: 6 multiplies per 4 outputs = 2x fewer MXU
@@ -645,7 +713,7 @@ WINO_HALO = 36
 # and d=3 (r, r+3, r+6, r+9) stay full-sublane shifted slices.  The chain
 # still consumes +-1 plane row per conv stage, but plane rows are 12
 # samples, so the halo is 72 samples.
-WINO4_T_TILE = int(_os.environ.get("FWN_WINO4_TT", "1920"))
+WINO4_T_TILE = _env_int("FWN_WINO4_TT", 1920, multiple_of=48)
 WINO4_HALO = 72
 
 
@@ -675,34 +743,41 @@ def _wino4_weights(w):
     ], axis=-3)
 
 
-def _tap(planes, a_vals: int, r: int, off: int, a_out: int, L: int):
+def _tap(planes, a_vals: int, r: int, off: int, a_out: int, L: int,
+         nb: int = 1):
     """Rows at global window offset (P*j + r + off) for output plane rows
-    j in [a_out, a_out+L), from planes stored with region start a_vals."""
+    j in [a_out, a_out+L), from planes stored with region start a_vals.
+
+    ``nb``: batch-packing factor — each plane row holds nb batch items
+    back to back ([rows*nb, C] flattened storage), so row indices scale by
+    nb and every tap's matmul M becomes L*nb."""
     P = len(planes)
     q = (r + off) % P
     s = (r + off - q) // P
     rel = a_out + s - a_vals
-    return jax.lax.slice_in_dim(planes[q], rel, rel + L, axis=0)
+    return jax.lax.slice_in_dim(planes[q], rel * nb, (rel + L) * nb, axis=0)
 
 
 def _conv3_wino_pairs(planes, a_vals: int, U, *, step: int, a_out: int,
-                      L: int):
+                      L: int, nb: int = 1):
     """Winograd F(2,3) for all 6 output planes of a 3-tap conv with
     dilation ``step`` (1 or 3).  U: [4, Cin, Cout].  Returns a list of 6
-    fp32 [L, Cout] planes at region start a_out.
+    fp32 [L*nb, Cout] planes at region start a_out.
 
     (Measured: per-plane [L,Cin] matmuls beat concatenating the pairs into
     [3L,Cin] big-M matmuls — the in-VMEM concats/reshapes cost more than
-    the MXU efficiency they buy: block0 572 vs 423 ms.)
+    the MXU efficiency they buy: block0 572 vs 423 ms.  Batch packing
+    ``nb`` raises M without any copy: consecutive batch items live in
+    consecutive sublanes of the same plane.)
     """
     outs = [None] * 6
     pairs = [(0, 1), (2, 3), (4, 5)] if step == 1 else [(0, 3), (1, 4),
                                                         (2, 5)]
     for r0, r1 in pairs:
-        d0 = _tap(planes, a_vals, r0, -step, a_out, L)
-        d1 = _tap(planes, a_vals, r0, 0, a_out, L)
-        d2 = _tap(planes, a_vals, r0, step, a_out, L)
-        d3 = _tap(planes, a_vals, r0, 2 * step, a_out, L)
+        d0 = _tap(planes, a_vals, r0, -step, a_out, L, nb)
+        d1 = _tap(planes, a_vals, r0, 0, a_out, L, nb)
+        d2 = _tap(planes, a_vals, r0, step, a_out, L, nb)
+        d3 = _tap(planes, a_vals, r0, 2 * step, a_out, L, nb)
         m0 = jnp.dot(d0 - d2, U[0], preferred_element_type=ACC_DTYPE)
         m1 = jnp.dot(d1 + d2, U[1], preferred_element_type=ACC_DTYPE)
         m2 = jnp.dot(d2 - d1, U[2], preferred_element_type=ACC_DTYPE)
@@ -713,9 +788,9 @@ def _conv3_wino_pairs(planes, a_vals: int, U, *, step: int, a_out: int,
 
 
 def _conv3_wino4_groups(planes, a_vals: int, U, *, step: int, a_out: int,
-                        L: int):
+                        L: int, nb: int = 1):
     """Winograd F(4,3) over 12 phase planes: 6 multiplies per 4 outputs.
-    U: [6, Cin, Cout] from _wino4_weights.  Returns 12 fp32 [L, Cout]
+    U: [6, Cin, Cout] from _wino4_weights.  Returns 12 fp32 [L*nb, Cout]
     planes at region start a_out.
 
     d=1 output tiles: (0..3), (4..7), (8..11); d=3: (r, r+3, r+6, r+9)."""
@@ -724,7 +799,7 @@ def _conv3_wino4_groups(planes, a_vals: int, U, *, step: int, a_out: int,
               else [(0, 3, 6, 9), (1, 4, 7, 10), (2, 5, 8, 11)])
     for grp in groups:
         r0 = grp[0]
-        d = [_tap(planes, a_vals, r0, (k - 1) * step, a_out, L)
+        d = [_tap(planes, a_vals, r0, (k - 1) * step, a_out, L, nb)
              for k in range(6)]
         # BT d (input transform; integer coefficients, VPU adds/shifts)
         t0 = 4.0 * d[0] - 5.0 * d[2] + d[4]
@@ -743,14 +818,15 @@ def _conv3_wino4_groups(planes, a_vals: int, U, *, step: int, a_out: int,
     return outs
 
 
-def _conv3_front_planes(planes, a_vals: int, w, *, a_out: int, L: int):
+def _conv3_front_planes(planes, a_vals: int, w, *, a_out: int, L: int,
+                        nb: int = 1):
     """Direct 3-tap d=1 conv for the tiny-Cin front layer, per plane."""
     cin = planes[0].shape[-1]
     outs = []
     for r in range(len(planes)):
         acc = None
         for k in range(3):
-            tap = _tap(planes, a_vals, r, k - 1, a_out, L)
+            tap = _tap(planes, a_vals, r, k - 1, a_out, L, nb)
             if cin >= 8:
                 o = jnp.dot(tap, w[k], preferred_element_type=ACC_DTYPE)
             else:
@@ -764,17 +840,20 @@ def _conv3_front_planes(planes, a_vals: int, w, *, a_out: int, L: int):
     return outs
 
 
-def _mask_planes(planes, a: int, row0_win, T: int):
+def _mask_planes(planes, a: int, row0_win, T: int, nb: int = 1):
     """Zero plane rows whose global position is outside [0, T).
-    row0_win = global position of window row 0 (traced scalar)."""
+    row0_win = global position of window row 0 (traced scalar).
+    With batch packing (nb > 1) each group of nb consecutive storage rows
+    shares one time position."""
     if _NO_MASK:
         return list(planes)
     P = len(planes)
     out = []
     for r, x in enumerate(planes):
-        pos = (row0_win + P * a + r
-               + P * jax.lax.broadcasted_iota(jnp.int32,
-                                              (x.shape[0], 1), 0))
+        j = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)
+        if nb > 1:
+            j = j // nb
+        pos = row0_win + P * a + r + P * j
         out.append(jnp.where((pos >= 0) & (pos < T), x, jnp.zeros_like(x)))
     return out
 
@@ -782,7 +861,8 @@ def _mask_planes(planes, a: int, row0_win, T: int):
 def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win,
                        T: int,
                        front_w, front_b, kfg, cond_w, cond_b, res_w, res_b,
-                       skip_w, skip_b, fin_w, fin_b, zw, zb, dtype):
+                       skip_w, skip_b, fin_w, fin_b, zw, zb, dtype,
+                       nb: int = 1):
     """Plane-space coupling net.  x_pl: P planes at region start x_a;
     c_pl: P conditioning planes at region start 0 (full window).
     Returns P fp32 net-output planes (log_s || t) at region a_h0 + 2.
@@ -790,27 +870,30 @@ def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win,
     P (6 or 12) and the Winograd variant are inferred from the shapes:
     kfg[l] has 4 G-transformed taps for F(2,3), 6 for F(4,3).
     ``cond_w=None`` = hoisted conditioning: c_pl holds the precomputed
-    per-layer pre-activations (layer0 || layer1 on channels)."""
+    per-layer pre-activations (layer0 || layer1 on channels).
+    ``nb``: batch-packing factor — planes store nb batch items per plane
+    row ([rows*nb, C]), scaling every matmul's M by nb."""
     acc = ACC_DTYPE
     P = len(x_pl)
     conv = _conv3_wino_pairs if kfg.shape[1] == 4 else _conv3_wino4_groups
     w2r = kfg.shape[-1]
-    Lp = c_pl[0].shape[0]
+    Lp = c_pl[0].shape[0] // nb
     a0, a1, a2 = a_h0, a_h0 + 1, a_h0 + 2
     L0, L1, L2 = Lp - 2 * a0, Lp - 2 * a1, Lp - 2 * a2
 
-    h0 = _conv3_front_planes(x_pl, x_a, front_w, a_out=a0, L=L0)
+    h0 = _conv3_front_planes(x_pl, x_a, front_w, a_out=a0, L=L0, nb=nb)
     h0 = [jnp.maximum(h + front_b.astype(acc), 0.0).astype(dtype)
           for h in h0]
-    h0 = _mask_planes(h0, a0, row0_win, T)
+    h0 = _mask_planes(h0, a0, row0_win, T, nb)
 
     # layer 0 (d=1)
-    fg0 = conv(h0, a0, kfg[0], step=1, a_out=a1, L=L1)
+    fg0 = conv(h0, a0, kfg[0], step=1, a_out=a1, L=L1, nb=nb)
     r = fg0[0].shape[-1] // 2
     rs_w = jnp.concatenate([res_w, skip_w[0]], axis=-1)
     sk0_pl, h1 = [], []
     for q in range(P):
-        c_sl = jax.lax.slice_in_dim(c_pl[q], a1, a1 + L1, axis=0)
+        c_sl = jax.lax.slice_in_dim(c_pl[q], a1 * nb, (a1 + L1) * nb,
+                                    axis=0)
         if cond_w is None:
             fg = fg0[q] + c_sl[:, :w2r].astype(acc)
         else:
@@ -821,16 +904,17 @@ def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win,
         rs = jnp.dot(g, rs_w, preferred_element_type=acc)
         sk0_pl.append(rs[:, r:])
         res0 = rs[:, :r]
-        h0_mid = jax.lax.slice_in_dim(h0[q], 1, 1 + L1, axis=0)
+        h0_mid = jax.lax.slice_in_dim(h0[q], nb, nb + L1 * nb, axis=0)
         h1.append(((h0_mid.astype(acc) + res0 + res_b.astype(acc))
                    * SQRT_HALF).astype(dtype))
-    h1 = _mask_planes(h1, a1, row0_win, T)
+    h1 = _mask_planes(h1, a1, row0_win, T, nb)
 
     # layer 1 (d=3)
-    fg1 = conv(h1, a1, kfg[1], step=3, a_out=a2, L=L2)
+    fg1 = conv(h1, a1, kfg[1], step=3, a_out=a2, L=L2, nb=nb)
     net = []
     for q in range(P):
-        c_sl = jax.lax.slice_in_dim(c_pl[q], a2, a2 + L2, axis=0)
+        c_sl = jax.lax.slice_in_dim(c_pl[q], a2 * nb, (a2 + L2) * nb,
+                                    axis=0)
         if cond_w is None:
             fg = fg1[q] + c_sl[:, w2r:].astype(acc)
         else:
@@ -838,7 +922,7 @@ def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win,
                                   preferred_element_type=acc)
         fg = fg + cond_b[1].astype(acc)
         g1 = _gated(fg, r, dtype)
-        sk0 = jax.lax.slice_in_dim(sk0_pl[q], 1, 1 + L2, axis=0)
+        sk0 = jax.lax.slice_in_dim(sk0_pl[q], nb, nb + L2 * nb, axis=0)
         sk = (sk0 + skip_b[0].astype(acc)
               + jnp.dot(g1, skip_w[1], preferred_element_type=acc)
               + skip_b[1].astype(acc))
@@ -851,72 +935,120 @@ def _coupling_net_wino(x_pl, x_a: int, c_pl, *, a_h0: int, row0_win,
     return net
 
 
-def _win_cat_planes(tile_ref, halo_ref, P: int, hr: int):
+def _win_cat_planes(tile_ref, halo_ref, P: int, hr: int, nb: int = 1):
     """Per-phase [left-halo | tile | right-halo] planes from plane-ified
-    tile + halo refs ([1, 1, P, rows, C])."""
-    return [jnp.concatenate([halo_ref[0, 0, q, :hr],
-                             tile_ref[0, 0, q],
-                             halo_ref[0, 0, q, hr:]], axis=0)
-            for q in range(P)]
+    tile + halo refs ([1, 1, P, rows, C] or batch-packed
+    [1, 1, P, rows, nb, C] — packed refs are flattened to [rows*nb, C],
+    a free collapse of adjacent dims)."""
+    out = []
+    for q in range(P):
+        t = tile_ref[0, 0, q]
+        h = halo_ref[0, 0, q]
+        if t.ndim == 3:  # packed: [rows, nb, C] -> [rows*nb, C]
+            t = t.reshape(t.shape[0] * t.shape[1], t.shape[2])
+            h = h.reshape(h.shape[0] * h.shape[1], h.shape[2])
+        out.append(jnp.concatenate(
+            [h[:hr * nb], t, h[hr * nb:]], axis=0))
+    return out
 
 
 def _pair_kernel_wino(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
                       cbt_ref, cbh_ref, front_w, front_b, kfg,
                       cond_w, cond_b, res_w, res_b, skip_w, skip_b, fin_w,
                       fin_b, zw, zb, an_s, an_b, u_out, v_out,
-                      *, t_tile: int, n_t: int, T: int):
+                      *, t_tile: int, n_t: int, T: int, n_pair: int = 1,
+                      nb: int = 1):
+    """Fused Winograd reverse chain of ``n_pair`` flow pairs (one whole
+    block when n_pair = n_flow/2).  Weight operands carry leading axes
+    [n_pair, 2(flow even/odd), ...]; pairs execute in reversed index order.
+    Each pair consumes 6 plane rows of margin per side (3 per coupling);
+    u/v planes are re-masked outside [0, T) between pairs so the chain is
+    numerically identical to n_pair separate launches.
+
+    ``nb``: batch-packing — refs carry nb batch items per plane row
+    ([.., P, rows, nb, C]); planes flatten to [rows*nb, C] so every matmul
+    runs at M = rows*nb without any in-VMEM copy."""
     g = pl.program_id(0)
     f32 = jnp.float32
     dtype = u_out.dtype
     P = ut_ref.shape[2]                # phase planes: 6=F(2,3), 12=F(4,3)
-    halo = 6 * P                       # 6 plane rows each side
+    hr = 6 * n_pair                    # halo plane rows each side
+    halo = hr * P
     row0_win = (g % n_t) * t_tile - halo
 
-    u_pl = _win_cat_planes(ut_ref, uh_ref, P, 6)
-    v_pl = _win_cat_planes(vt_ref, vh_ref, P, 6)
-    ca_pl = _win_cat_planes(cat_ref, cah_ref, P, 6)
-    cb_pl = _win_cat_planes(cbt_ref, cbh_ref, P, 6)
+    u_pl = _win_cat_planes(ut_ref, uh_ref, P, hr, nb)
+    v_pl = _win_cat_planes(vt_ref, vh_ref, P, hr, nb)
+    ca_pl = _win_cat_planes(cat_ref, cah_ref, P, hr, nb)
+    cb_pl = _win_cat_planes(cbt_ref, cbh_ref, P, hr, nb)
     r_in = u_pl[0].shape[-1]
-    Lp = u_pl[0].shape[0]
+    Lp = u_pl[0].shape[0] // nb
 
-    def flow_w(i):
-        return dict(front_w=front_w[i], front_b=front_b[i], kfg=kfg[i],
-                    cond_w=None if cond_w is None else cond_w[i],
-                    cond_b=cond_b[i], res_w=res_w[i],
-                    res_b=res_b[i], skip_w=skip_w[i], skip_b=skip_b[i],
-                    fin_w=fin_w[i], fin_b=fin_b[i], zw=zw[i], zb=zb[i])
+    def flow_w(pi, fi):
+        return dict(front_w=front_w[pi, fi], front_b=front_b[pi, fi],
+                    kfg=kfg[pi, fi],
+                    cond_w=None if cond_w is None else cond_w[pi, fi],
+                    cond_b=cond_b[pi, fi], res_w=res_w[pi, fi],
+                    res_b=res_b[pi, fi], skip_w=skip_w[pi, fi],
+                    skip_b=skip_b[pi, fi], fin_w=fin_w[pi, fi],
+                    fin_b=fin_b[pi, fi], zw=zw[pi, fi], zb=zb[pi, fi])
 
-    # couple(odd): u' = u*exp(log_s(v)) + t(v) at region a=3
-    net = _coupling_net_wino(v_pl, 0, cb_pl, a_h0=1, row0_win=row0_win,
-                             T=T, dtype=dtype, **flow_w(1))
-    a_mid, L_mid = 3, Lp - 6
-    u_mid = []
+    a = 0  # current region start (plane rows); u_pl/v_pl valid there
+    for s in range(n_pair):
+        i = n_pair - 1 - s             # pair index (reversed execution)
+        # couple(odd): u' = u*exp(log_s(v)) + t(v) at region a+3
+        net = _coupling_net_wino(v_pl, a, cb_pl, a_h0=a + 1,
+                                 row0_win=row0_win, T=T, dtype=dtype,
+                                 nb=nb, **flow_w(i, 1))
+        a_mid, L_mid = a + 3, Lp - 2 * (a + 3)
+        u_mid = []
+        for q in range(P):
+            n_q = net[q]
+            u_sl = jax.lax.slice_in_dim(u_pl[q], (a_mid - a) * nb,
+                                        (a_mid - a + L_mid) * nb, axis=0)
+            um = (u_sl.astype(f32) * jnp.exp(n_q[:, :r_in])
+                  + n_q[:, r_in:])
+            # actnorm reverse (odd), u half1
+            um = um * an_s[i, 1, 1].astype(f32) - an_b[i, 1, 1].astype(f32)
+            u_mid.append(um.astype(dtype))
+        u_mid = _mask_planes(u_mid, a_mid, row0_win, T, nb)
+
+        # couple(even): v' = v*exp(log_s(u')) + t(u') at region a+6
+        net2 = _coupling_net_wino(u_mid, a_mid, ca_pl, a_h0=a + 4,
+                                  row0_win=row0_win, T=T, dtype=dtype,
+                                  nb=nb, **flow_w(i, 0))
+        a_out, L_out = a + 6, Lp - 2 * (a + 6)
+        new_u, new_v = [], []
+        for q in range(P):
+            v_sl = jax.lax.slice_in_dim(v_pl[q], (a_out - a) * nb,
+                                        (a_out - a + L_out) * nb, axis=0)
+            v_an = (v_sl.astype(f32) * an_s[i, 1, 0].astype(f32)
+                    - an_b[i, 1, 0].astype(f32))
+            n_q = net2[q]
+            v_new = v_an * jnp.exp(n_q[:, :r_in]) + n_q[:, r_in:]
+            v_fin = (v_new * an_s[i, 0, 1].astype(f32)
+                     - an_b[i, 0, 1].astype(f32))
+            u_sl = jax.lax.slice_in_dim(u_mid[q], 3 * nb,
+                                        (3 + L_out) * nb, axis=0)
+            u_fin = (u_sl.astype(f32) * an_s[i, 0, 0].astype(f32)
+                     - an_b[i, 0, 0].astype(f32))
+            new_u.append(u_fin.astype(dtype))
+            new_v.append(v_fin.astype(dtype))
+        if s < n_pair - 1:
+            # the next pair's convs consume both u and v: zero them
+            # outside the sequence (per-pair launches get this from fresh
+            # zero-padded HBM tiles)
+            new_u = _mask_planes(new_u, a_out, row0_win, T, nb)
+            new_v = _mask_planes(new_v, a_out, row0_win, T, nb)
+        u_pl, v_pl, a = new_u, new_v, a_out
+
     for q in range(P):
-        n_q = net[q]
-        u_sl = jax.lax.slice_in_dim(u_pl[q], a_mid, a_mid + L_mid, axis=0)
-        um = (u_sl.astype(f32) * jnp.exp(n_q[:, :r_in]) + n_q[:, r_in:])
-        # actnorm reverse (odd), u half1
-        um = um * an_s[1, 1].astype(f32) - an_b[1, 1].astype(f32)
-        u_mid.append(um.astype(dtype))
-    u_mid = _mask_planes(u_mid, a_mid, row0_win, T)
-
-    # couple(even): v' = v*exp(log_s(u')) + t(u') at region a=6
-    net2 = _coupling_net_wino(u_mid, a_mid, ca_pl, a_h0=4,
-                              row0_win=row0_win, T=T, dtype=dtype,
-                              **flow_w(0))
-    a_out, L_out = 6, Lp - 12
-    for q in range(P):
-        v_sl = jax.lax.slice_in_dim(v_pl[q], a_out, a_out + L_out, axis=0)
-        v_an = (v_sl.astype(f32) * an_s[1, 0].astype(f32)
-                - an_b[1, 0].astype(f32))
-        n_q = net2[q]
-        v_new = v_an * jnp.exp(n_q[:, :r_in]) + n_q[:, r_in:]
-        v_fin = v_new * an_s[0, 1].astype(f32) - an_b[0, 1].astype(f32)
-        u_sl = jax.lax.slice_in_dim(u_mid[q], 3, 3 + L_out, axis=0)
-        u_fin = (u_sl.astype(f32) * an_s[0, 0].astype(f32)
-                 - an_b[0, 0].astype(f32))
-        u_out[0, 0, q] = u_fin.astype(dtype)
-        v_out[0, 0, q] = v_fin.astype(dtype)
+        if nb > 1:
+            rows = u_out.shape[3]
+            u_out[0, 0, q] = u_pl[q].reshape(rows, nb, r_in)
+            v_out[0, 0, q] = v_pl[q].reshape(rows, nb, r_in)
+        else:
+            u_out[0, 0, q] = u_pl[q]
+            v_out[0, 0, q] = v_pl[q]
 
 
 def _pair_kernel_wino_hoisted(ut_ref, uh_ref, vt_ref, vh_ref, cet_ref,
@@ -924,14 +1056,14 @@ def _pair_kernel_wino_hoisted(ut_ref, uh_ref, vt_ref, vh_ref, cet_ref,
                               front_b, kfg, cond_b, res_w, res_b, skip_w,
                               skip_b, fin_w, fin_b, zw, zb, an_s, an_b,
                               u_out, v_out, *, t_tile: int, n_t: int,
-                              T: int):
+                              T: int, n_pair: int = 1, nb: int = 1):
     """Hoisted-conditioning Winograd variant: ce/co are precomputed cond
     pre-activation planes (even/odd flow), not raw c."""
     _pair_kernel_wino(ut_ref, uh_ref, vt_ref, vh_ref, cet_ref, ceh_ref,
                       cot_ref, coh_ref, front_w, front_b, kfg,
                       None, cond_b, res_w, res_b, skip_w, skip_b, fin_w,
                       fin_b, zw, zb, an_s, an_b, u_out, v_out,
-                      t_tile=t_tile, n_t=n_t, T=T)
+                      t_tile=t_tile, n_t=n_t, T=T, n_pair=n_pair, nb=nb)
 
 
 # operand order from pair_reverse_operands / _flow_operands:
@@ -970,43 +1102,58 @@ def pair_reverse_operands_wino4(pair: dict, dtype=jnp.bfloat16,
     return tuple(ops), (hoist[0], hoist[1])
 
 
-def fused_pair_reverse_wino(u, v, c_a, c_b, operands, *, interpret=False,
-                            phases: int = 6, hoisted: bool = False):
-    """Winograd pair-flow reverse.  Same contract as fused_pair_reverse.
-    phases=6 -> F(2,3) (operands from pair_reverse_operands_wino);
-    phases=12 -> F(4,3) (from pair_reverse_operands_wino4).
+def fused_chain_reverse_wino(u, v, c_a, c_b, operands, *, n_pair: int,
+                             interpret=False, phases: int = 6,
+                             hoisted: bool = False, nb: int = 1):
+    """Winograd reverse chain of ``n_pair`` flow pairs in ONE kernel launch
+    (one whole block when n_pair = n_flow/2).  ``operands`` from
+    stack_chain_operands over pair_reverse_operands_wino[4] tuples.
+    phases=6 -> F(2,3); phases=12 -> F(4,3).
     ``hoisted=True``: c_a/c_b are precomputed cond planes and operands
-    exclude cond_w."""
+    exclude cond_w.
+    ``nb``: batch-pack nb items per plane row (B % nb == 0) — every kernel
+    matmul's M scales from rows to rows*nb with zero in-VMEM copies."""
     B, T, R_in = u.shape
+    if B % nb != 0:
+        raise ValueError(f"batch {B} not divisible by packing nb={nb}")
     dtype = u.dtype
     P = phases
-    halo = 6 * P  # 6 plane rows each side (one per chained conv stage)
-    t_tile, n_t, T_pad = _wino_geometry(T, P)
+    hr = 6 * n_pair  # halo plane rows per side (6 per chained pair)
+    halo = hr * P
+    t_tile, n_t, T_pad = _wino_geometry(T, P, n_pair)
 
-    ut, uh = _tiles_and_halos_wino(u, t_tile, n_t, T_pad, P, halo)
-    vt, vh = _tiles_and_halos_wino(v, t_tile, n_t, T_pad, P, halo)
+    ut, uh = _tiles_and_halos_wino(u, t_tile, n_t, T_pad, P, halo, nb)
+    vt, vh = _tiles_and_halos_wino(v, t_tile, n_t, T_pad, P, halo, nb)
     # conditioning may arrive pre-tiled per block (wino_cond_tiles)
     if isinstance(c_a, tuple):
         (cat, cah), (cbt, cbh) = c_a, c_b
+        if (nb > 1) != (cat.ndim == 6):
+            raise ValueError("pre-tiled cond packing does not match nb")
     else:
-        cat, cah = _tiles_and_halos_wino(c_a, t_tile, n_t, T_pad, P, halo)
-        cbt, cbh = _tiles_and_halos_wino(c_b, t_tile, n_t, T_pad, P, halo)
+        cat, cah = _tiles_and_halos_wino(c_a, t_tile, n_t, T_pad, P, halo,
+                                         nb)
+        cbt, cbh = _tiles_and_halos_wino(c_b, t_tile, n_t, T_pad, P, halo,
+                                         nb)
     Cc = cat.shape[-1]
     rows = t_tile // P
+    Bc = B // nb
 
     kern = _pair_kernel_wino_hoisted if hoisted else _pair_kernel_wino
-    kernel = functools.partial(kern, t_tile=t_tile, n_t=n_t, T=T)
-    grid = (B * n_t,)
+    kernel = functools.partial(kern, t_tile=t_tile, n_t=n_t, T=T,
+                               n_pair=n_pair, nb=nb)
+    grid = (Bc * n_t,)
+
+    pack = (nb,) if nb > 1 else ()
 
     def in_map(g):
-        return (g // n_t, g % n_t, 0, 0, 0)
+        return (g // n_t, g % n_t, 0, 0, 0) + ((0,) if nb > 1 else ())
 
     def tile_spec(C):
-        return pl.BlockSpec((1, 1, P, rows, C), in_map,
+        return pl.BlockSpec((1, 1, P, rows) + pack + (C,), in_map,
                             memory_space=pltpu.VMEM)
 
     def halo_spec(C):
-        return pl.BlockSpec((1, 1, P, 12, C), in_map,
+        return pl.BlockSpec((1, 1, P, 2 * hr) + pack + (C,), in_map,
                             memory_space=pltpu.VMEM)
 
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1025,18 +1172,18 @@ def fused_pair_reverse_wino(u, v, c_a, c_b, operands, *, interpret=False,
             tile_spec(Cc), halo_spec(Cc),
         ] + [wspec] * len(operands),
         out_specs=[
-            pl.BlockSpec((1, 1, P, rows, R_in), in_map,
+            pl.BlockSpec((1, 1, P, rows) + pack + (R_in,), in_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P, rows, R_in), in_map,
+            pl.BlockSpec((1, 1, P, rows) + pack + (R_in,), in_map,
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((B, n_t, P, rows, R_in),
-                                        dtype)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Bc, n_t, P, rows) + pack
+                                        + (R_in,), dtype)] * 2,
         cost_estimate=pl.CostEstimate(
-            flops=int(2 * B * flops_net),
+            flops=int(2 * B * n_pair * flops_net),
             bytes_accessed=(ut.size + vt.size + cat.size + cbt.size
                             + 2 * B * T_pad * R_in) * dtype.itemsize,
-            transcendentals=2 * B * T * 512 * 2,
+            transcendentals=2 * B * T * n_pair * 512 * 2,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) if _GRID_ARBITRARY
@@ -1046,7 +1193,21 @@ def fused_pair_reverse_wino(u, v, c_a, c_b, operands, *, interpret=False,
     )(ut, uh, vt, vh, cat, cah, cbt, cbh, *operands)
 
     def reinterleave(x):
-        x = jnp.transpose(x, (0, 1, 3, 2, 4))       # [B, n_t, tt/P, P, R]
+        if nb > 1:
+            # [Bc, n_t, P, rows, nb, R] -> [Bc, nb, n_t, rows, P, R]
+            x = jnp.transpose(x, (0, 4, 1, 3, 2, 5))
+        else:
+            x = jnp.transpose(x, (0, 1, 3, 2, 4))   # [B, n_t, tt/P, P, R]
         return x.reshape(B, T_pad, R_in)[:, :T]
 
     return reinterleave(u2), reinterleave(v2)
+
+
+def fused_pair_reverse_wino(u, v, c_a, c_b, operands, *, interpret=False,
+                            phases: int = 6, hoisted: bool = False):
+    """Winograd pair-flow reverse.  Same contract as fused_pair_reverse.
+    Single-pair special case of fused_chain_reverse_wino."""
+    return fused_chain_reverse_wino(u, v, c_a, c_b,
+                                    stack_chain_operands([operands]),
+                                    n_pair=1, interpret=interpret,
+                                    phases=phases, hoisted=hoisted)

@@ -208,6 +208,139 @@ def test_wino_multi_tile(key, rng, monkeypatch):
                                rtol=1e-4, atol=1e-4)
 
 
+# ---------------------------------------------------------------------------
+# Block-fused chains: all n_flow/2 pairs in ONE kernel launch
+# ---------------------------------------------------------------------------
+
+def _xla_chain_reverse(bp, cfg, u, v, c_a, c_b):
+    """Reference: the full block's pair-scan (all pairs, reversed)."""
+    (u, v), _ = jax.lax.scan(
+        fwn._pair_step_rev(cfg, c_a, c_b, None, None), (u, v),
+        fwn._pair_params(bp), reverse=True)
+    return u, v
+
+
+@pytest.mark.parametrize("T,t_tile", [(192, 64), (200, 64), (192, 192)])
+def test_chain_kernel_matches_xla(key, rng, T, t_tile):
+    """3-pair direct chain (whole 6-flow block, one launch) == XLA pair
+    scan, across tile boundaries, ragged tails (T=200 pads to 256: the
+    inter-pair masking must re-zero the padded region), and single-tile."""
+    from flowavenet_tpu.ops.pallas_flow import (fused_chain_reverse,
+                                                stack_chain_operands)
+    cfg = dataclasses.replace(CFG, n_flow=6)
+    params = _randomized(key, cfg)
+    bp = params["blocks"][0]
+    u = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    v = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    c_a = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    c_b = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    u_ref, v_ref = _xla_chain_reverse(bp, cfg, u, v, c_a, c_b)
+    pp = fwn._pair_params(bp)
+    ops = stack_chain_operands([
+        pair_reverse_operands(jax.tree.map(lambda l, _i=i: l[_i], pp),
+                              dtype=jnp.float32)
+        for i in range(3)])
+    u_k, v_k = fused_chain_reverse(u, v, c_a, c_b, ops, n_pair=3,
+                                   t_tile=t_tile, interpret=True)
+    np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                               rtol=5e-5, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref),
+                               rtol=5e-5, atol=5e-5)
+
+
+@pytest.mark.parametrize("T,wtt", [(432, 144), (336, 144), (288, 960)])
+def test_wino_chain_matches_xla(key, rng, monkeypatch, T, wtt):
+    """3-pair Winograd chain == XLA pair scan: multi-tile (432 = 3x144),
+    ragged tail with padding (336 -> T_pad 432, exercising inter-pair
+    re-masking of the pad), and single-tile."""
+    from flowavenet_tpu.ops import pallas_flow as pf
+    monkeypatch.setattr(pf, "WINO_T_TILE", wtt)
+    cfg = dataclasses.replace(CFG, n_flow=6)
+    params = _randomized(key, cfg)
+    bp = params["blocks"][0]
+    u = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    v = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    c_a = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    c_b = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    u_ref, v_ref = _xla_chain_reverse(bp, cfg, u, v, c_a, c_b)
+    pp = fwn._pair_params(bp)
+    ops = pf.stack_chain_operands([
+        pf.pair_reverse_operands_wino(
+            jax.tree.map(lambda l, _i=i: l[_i], pp), dtype=jnp.float32)
+        for i in range(3)])
+    u_k, v_k = pf.fused_chain_reverse_wino(u, v, c_a, c_b, ops, n_pair=3,
+                                           interpret=True)
+    np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("T,nb,n_pair", [(336, 2, 1), (288, 4, 1),
+                                         (336, 2, 3)])
+def test_wino_packed_matches_xla(key, rng, monkeypatch, T, nb, n_pair):
+    """Batch-packed Winograd kernel (nb items per plane row, matmul M =
+    rows*nb) == XLA pair scan, incl. ragged tails (T=336 pads) and packing
+    composed with the chain."""
+    from flowavenet_tpu.ops import pallas_flow as pf
+    monkeypatch.setattr(pf, "WINO_T_TILE", 144)
+    cfg = dataclasses.replace(CFG, n_flow=2 * n_pair)
+    params = _randomized(key, cfg)
+    bp = params["blocks"][0]
+    B = 2 * nb if nb > 1 else 4
+    u = jnp.asarray(rng.randn(B, T, 1), jnp.float32)
+    v = jnp.asarray(rng.randn(B, T, 1), jnp.float32)
+    c_a = jnp.asarray(rng.randn(B, T, cfg.num_mels), jnp.float32)
+    c_b = jnp.asarray(rng.randn(B, T, cfg.num_mels), jnp.float32)
+    u_ref, v_ref = _xla_chain_reverse(bp, cfg, u, v, c_a, c_b)
+    pp = fwn._pair_params(bp)
+    ops = pf.stack_chain_operands([
+        pf.pair_reverse_operands_wino(
+            jax.tree.map(lambda l, _i=i: l[_i], pp), dtype=jnp.float32)
+        for i in range(n_pair)])
+    u_k, v_k = pf.fused_chain_reverse_wino(u, v, c_a, c_b, ops,
+                                           n_pair=n_pair, nb=nb,
+                                           interpret=True)
+    np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_packed_model_routing_matches_xla(key, rng, monkeypatch):
+    """Full tiny model with FWN_PACK=2 routing (packed cond tiles built in
+    reverse(), packed kernel in block_reverse): matches the XLA path."""
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_CPU_INTERPRET", True)
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_PACK", 2)
+    cfg_off = dataclasses.replace(CFG, use_pallas=False)
+    cfg_on = dataclasses.replace(CFG, use_pallas=True)
+    params = _randomized(key, cfg_off)
+    z = jnp.asarray(rng.randn(4, 8192, 1), jnp.float32)
+    mel = jnp.asarray(rng.rand(4, 8192 // cfg_off.hop_size,
+                               cfg_off.num_mels), jnp.float32)
+    base = np.asarray(reverse(params, cfg_off, z, mel))
+    fast = np.asarray(reverse(params, cfg_on, z, mel))
+    np.testing.assert_allclose(fast, base, rtol=5e-5, atol=5e-5)
+    assert np.all(np.isfinite(fast))
+
+
+def test_chain_model_routing_matches_xla(key, rng, monkeypatch):
+    """Full tiny model with n_flow=4 (2 pairs/block): chained kernel path
+    (interpret) == XLA path, covering the in-model cond-tile geometry."""
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_CPU_INTERPRET", True)
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_CHAIN", True)
+    cfg_off = dataclasses.replace(CFG, n_flow=4, use_pallas=False)
+    cfg_on = dataclasses.replace(CFG, n_flow=4, use_pallas=True)
+    params = _randomized(key, cfg_off)
+    z = jnp.asarray(rng.randn(2, 8192, 1), jnp.float32)
+    mel = jnp.asarray(rng.rand(2, 8192 // cfg_off.hop_size,
+                               cfg_off.num_mels), jnp.float32)
+    base = np.asarray(reverse(params, cfg_off, z, mel))
+    fast = np.asarray(reverse(params, cfg_on, z, mel))
+    np.testing.assert_allclose(fast, base, rtol=5e-5, atol=5e-5)
+    assert np.all(np.isfinite(fast))
+
+
 @pytest.mark.parametrize("k,P", [(1, 6), (2, 6), (1, 12), (3, 12)])
 def test_wino_cond_tiles_matches_composition(rng, k, P):
     """Direct-from-mel tile builder == de-interleave(squeeze_to_level)."""
