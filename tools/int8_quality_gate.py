@@ -1,0 +1,153 @@
+"""int8 kernel quality gate on TRAINED weights (VERDICT round-2 item #3).
+
+The experimental FWN_INT8 mode (int8 MXU filter|gate convs,
+ops/pallas_flow.py) was only ever quality-checked against RANDOMIZED
+params.  This tool produces the missing evidence:
+
+1. builds a real-speech corpus from the 6 reference sample utterances
+   (/root/reference/examples/original/*.wav, 22.05 kHz) in the reference's
+   layout, preprocesses it with the tiny config,
+2. trains the tiny model for --steps steps (NLL drops well below 0 — the
+   same quality-sanity setup documented in docs/benchmarks.md),
+3. synthesizes the corpus mels from the SAME noise through three routes:
+   pure XLA (bf16), Pallas kernels bf16, Pallas kernels int8,
+4. reports waveform correlation / max-rel-diff of each kernel route vs
+   XLA, plus the mel-spectrogram correlation of each route's audio
+   against its conditioning mel (the end-to-end quality signal).
+
+Gate: int8 is promotable only if corr(int8, bf16 kernels) >= 0.999 on
+these trained weights.  The decision is recorded in docs/benchmarks.md.
+
+Usage: python tools/int8_quality_gate.py [workdir] [--cpu] [--steps N]
+(on CPU the kernels run in interpret mode — same math, slower; the int8
+quantization noise being measured is in the math, not the lowering).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import os
+import shutil
+import tempfile
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("workdir", nargs="?", default=None)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--ref_wavs",
+                   default="/root/reference/examples/original")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from flowavenet_tpu.audio.preprocessing import preprocess
+    from flowavenet_tpu.audio.mel import process_wav
+    from flowavenet_tpu.config import tiny
+    from flowavenet_tpu.models import flowavenet as fwn
+    from flowavenet_tpu.models.flowavenet import reverse
+    from flowavenet_tpu.synthesis.synthesize import load_params
+    from flowavenet_tpu.training.train import train
+
+    work = args.workdir or tempfile.mkdtemp(prefix="fwn_int8gate_")
+    os.makedirs(work, exist_ok=True)
+    print(f"workdir: {work}")
+    cfg = tiny()
+    sr = cfg.audio.sample_rate
+
+    # 1. corpus from the reference's 6 sample utterances
+    corpus = os.path.join(work, "corpus", "book1")
+    wav_dir = os.path.join(corpus, "wavs")
+    os.makedirs(wav_dir, exist_ok=True)
+    names = sorted(glob.glob(os.path.join(args.ref_wavs, "*.wav")))
+    assert names, f"no wavs in {args.ref_wavs}"
+    lines = []
+    for i, src in enumerate(names):
+        dst = f"u{i:03d}"
+        shutil.copy(src, os.path.join(wav_dir, dst + ".wav"))
+        lines.append(f"{dst}|x|ref {os.path.basename(src)}")
+    with open(os.path.join(corpus, "metadata.csv"), "w") as f:
+        f.write("\n".join(lines))
+
+    data_dir = os.path.join(work, "training_data")
+    if not os.path.exists(os.path.join(data_dir, "train.txt")):
+        preprocess(os.path.join(work, "corpus"), data_dir, cfg,
+                   num_workers=2)
+
+    # 2. train tiny on real speech (restore if the workdir already has it)
+    logdir = os.path.join(work, "logs")
+    train(cfg, data_dir, logdir, restore=True, train_steps=args.steps,
+          summary_interval=max(1, args.steps // 10),
+          checkpoint_interval=max(1, args.steps // 3),
+          eval_interval=10 ** 9)
+
+    params, step = load_params(os.path.join(logdir, "pretrained"), cfg)
+    params = jax.tree.map(lambda l: l.astype(jnp.bfloat16), params)
+    print(f"trained to step {step}")
+
+    # 3. synthesize the corpus mels through the three routes
+    mels = [np.load(f) for f in
+            sorted(glob.glob(os.path.join(data_dir, "mels", "*.npy")))]
+    frames = min(min(m.shape[0] for m in mels), 200)
+    while (frames * cfg.audio.hop_size) % cfg.model.squeeze_factor:
+        frames -= 1
+    c = jnp.asarray(np.stack([m[:frames] for m in mels]), jnp.float32)
+    T = frames * cfg.audio.hop_size
+    z = jax.random.normal(jax.random.PRNGKey(5),
+                          (c.shape[0], T, 1), jnp.float32) * 0.7
+
+    if args.cpu:
+        fwn.PAIR_KERNEL_CPU_INTERPRET = True
+
+    def synth(use_pallas: bool, int8: bool):
+        fwn.PAIR_KERNEL_INT8 = int8
+        m = dataclasses.replace(cfg.model, use_pallas=use_pallas)
+        out = jax.jit(lambda p, z, c: reverse(p, m, z, c,
+                                              compute_dtype=jnp.bfloat16))(
+            params, z, c)
+        return np.asarray(out.astype(jnp.float32))
+
+    wav_xla = synth(False, False)
+    wav_bf16 = synth(True, False)
+    wav_int8 = synth(True, True)
+    fwn.PAIR_KERNEL_INT8 = False
+
+    def corr(a, b):
+        return float(np.corrcoef(a.ravel(), b.ravel())[0, 1])
+
+    def relmax(a, b):
+        return float(np.abs(a - b).max() / max(1e-9, np.abs(b).max()))
+
+    def mel_corr(wavs):
+        """Correlation of synthesized audio's mel vs the conditioning."""
+        cs = []
+        for i in range(wavs.shape[0]):
+            _, m = process_wav(wavs[i, :, 0], cfg.audio)
+            n = min(m.shape[0], frames)
+            cs.append(corr(m[:n], np.asarray(c[i, :n])))
+        return float(np.mean(cs))
+
+    print(f"kernels bf16 vs XLA : corr={corr(wav_bf16, wav_xla):.6f} "
+          f"relmax={relmax(wav_bf16, wav_xla):.4f}")
+    print(f"kernels int8 vs bf16: corr={corr(wav_int8, wav_bf16):.6f} "
+          f"relmax={relmax(wav_int8, wav_bf16):.4f}")
+    print(f"mel-corr  xla={mel_corr(wav_xla):.4f}  "
+          f"bf16={mel_corr(wav_bf16):.4f}  int8={mel_corr(wav_int8):.4f}")
+    gate = corr(wav_int8, wav_bf16)
+    print(f"GATE: int8-vs-bf16 corr {gate:.6f} "
+          f"{'PASS (promotable)' if gate >= 0.999 else 'FAIL (stays opt-in)'}")
+
+
+if __name__ == "__main__":
+    main()
