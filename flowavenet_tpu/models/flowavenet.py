@@ -310,6 +310,56 @@ def _pack_factor(batch: int) -> int:
     return nb
 
 
+# FORWARD pair kernel for training / NLL eval (ops/pallas_flow.py
+# _pair_kernel_fw): the same fused coupling-net evaluation as the reverse
+# kernels, with the affine update inverted and the -log_s logdet reduction
+# emitted per tile.  Gradients come from jax.custom_vjp: backward
+# re-derives the pair step with XLA ops from input-only residuals — the
+# same recompute strategy (and memory profile) as the scan path's
+# jax.checkpoint, but the primal evaluation runs the fused kernel.
+PAIR_KERNEL_FWD = _env_flag("FWN_FWD_KERNEL", default=False)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pair_fwd_fused(interp: bool, pair, u, v, c_a, c_b):
+    from ..ops import pallas_flow as pf
+    ops = pf.pair_forward_operands(pair, u.dtype)
+    return pf.fused_pair_forward(u, v, c_a, c_b, ops, interpret=interp)
+
+
+def _pair_fwd_ref(pair, u, v, c_a, c_b):
+    """XLA mirror of the fused forward pair (affine, non-causal, no g):
+    returns (u', v', raw -log_s sum) exactly like fused_pair_forward."""
+    even = jax.tree.map(lambda l: l[0], pair)
+    odd = jax.tree.map(lambda l: l[1], pair)
+    u1 = _an_half(even["actnorm"], 0, u)
+    v1 = _an_half(even["actnorm"], 1, v)
+    net = apply_wavenet(even["coupling"], u1, c_a, None, causal=False)
+    log_s, t = jnp.split(net, 2, axis=2)
+    v2 = (v1 - t) * jnp.exp(-log_s)
+    s0 = jnp.sum(-log_s.astype(jnp.float32))
+    v3 = _an_half(odd["actnorm"], 0, v2)
+    u2 = _an_half(odd["actnorm"], 1, u1)
+    net2 = apply_wavenet(odd["coupling"], v3, c_b, None, causal=False)
+    log_s2, t2 = jnp.split(net2, 2, axis=2)
+    u3 = (u2 - t2) * jnp.exp(-log_s2)
+    s1 = jnp.sum(-log_s2.astype(jnp.float32))
+    return u3, v3, s0 + s1
+
+
+def _pair_fwd_fused_f(interp, pair, u, v, c_a, c_b):
+    return _pair_fwd_fused(interp, pair, u, v, c_a, c_b), (pair, u, v,
+                                                           c_a, c_b)
+
+
+def _pair_fwd_fused_b(interp, res, ct):
+    _, vjp = jax.vjp(_pair_fwd_ref, *res)
+    return vjp(ct)
+
+
+_pair_fwd_fused.defvjp(_pair_fwd_fused_f, _pair_fwd_fused_b)
+
+
 # Block-fused chain: run ALL n_flow/2 pairs of a block in ONE kernel
 # launch (ops/pallas_flow.py fused_chain_reverse*).  Reads u/v/c once per
 # block instead of once per pair and deletes the inter-pair de/re-
@@ -375,6 +425,27 @@ def block_forward(p: dict, cfg: ModelConfig, x, c, g):
         u, v = jnp.split(x, 2, axis=2)
         c_a, c_b = jnp.split(c, 2, axis=2)
         g_a, g_b = jnp.split(g, 2, axis=2) if has_g else (None, None)
+        if (PAIR_KERNEL_FWD and _pair_kernel_eligible(cfg, has_g)
+                and c_a.shape[-1] <= PAIR_KERNEL_MAX_CC):
+            # fused forward pair kernel (custom_vjp; no jax.checkpoint —
+            # the vjp's input-only residuals already ARE the remat policy)
+            interp = jax.default_backend() == "cpu"
+            pp = _pair_params(p)
+            B, T_lvl, r_in = u.shape
+            ld = jnp.asarray(0.0, jnp.float32)
+            raw = jnp.asarray(0.0, jnp.float32)
+            for i in range(cfg.n_flow // 2):
+                pair = jax.tree.map(lambda l, _i=i: l[_i], pp)
+                u, v, s = _pair_fwd_fused(interp, pair, u, v, c_a, c_b)
+                raw = raw + s
+                ld = (ld + _an_logdet(jax.tree.map(lambda l: l[0],
+                                                   pair)["actnorm"])
+                      + _an_logdet(jax.tree.map(lambda l: l[1],
+                                                pair)["actnorm"]))
+            # mean(-log_s)/2 per coupling (model.py:135): raw sums are over
+            # [B, T_lvl, r_in] half-tensors
+            ld = ld + raw / (B * T_lvl * r_in) / 2.0
+            return (jnp.concatenate([u, v], axis=2), c, g, ld)
         step = _pair_step_fwd(cfg, c_a, c_b, g_a, g_b)
         if cfg.remat:
             step = jax.checkpoint(step, prevent_cse=False)

@@ -1211,3 +1211,201 @@ def fused_pair_reverse_wino(u, v, c_a, c_b, operands, *, interpret=False,
                                     stack_chain_operands([operands]),
                                     n_pair=1, interpret=interpret,
                                     phases=phases, hoisted=hoisted)
+
+
+# ===========================================================================
+# FORWARD pair kernel (training / NLL evaluation).
+#
+# The reverse kernels above cover synthesis only; SURVEY §2.4 names the
+# fused gated ResBlock the hot op for BOTH passes (reference
+# modules.py:110-128 runs identically in forward and reverse).  The forward
+# pair step is the same two coupling-net evaluations with the affine update
+# inverted and a logdet reduction added:
+#
+#     u <- (u + bE0) * sE0 ; v <- (v + bE1) * sE1     ActNorm.forward (even)
+#     v <- (v - t(u; even)) * exp(-log_s(u; even))    AffineCoupling.forward
+#     v <- (v + bO0) * sO0 ; u <- (u + bO1) * sO1     ActNorm.forward (odd)
+#     u <- (u - t(v; odd)) * exp(-log_s(v; odd))      AffineCoupling.forward
+#
+# (s = exp(3*logs); the ActNorm logdets are parameter-only and summed
+# OUTSIDE the kernel.)  The kernel also emits, per grid step, the raw
+# sum of -log_s over the tile's OWN rows (halo rows excluded — adjacent
+# tiles recompute them — and rows >= T masked), so the coupling logdet is
+# sum / (B*T*R_in) / 2 outside (model.py:135 semantics).
+#
+# Training gradients: models/flowavenet.py wraps this in jax.custom_vjp
+# whose backward re-derives the pair step with XLA ops (residuals = inputs
+# only, i.e. the same memory profile as the scan's jax.checkpoint).
+# ===========================================================================
+
+def _pair_kernel_fw(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
+                    cbt_ref, cbh_ref, front_w, front_b, kfg, cond_w,
+                    cond_b, res_w, res_b, skip_w, skip_b, fin_w, fin_b,
+                    zw, zb, an_s, an_b, u_out, v_out, ld_out,
+                    *, t_tile: int, n_t: int, T: int):
+    """One FORWARD flow pair over a time tile.  Weight operands carry a
+    leading [2] (flow even/odd) axis; an_s/an_b are the FORWARD ActNorm
+    halves (s = exp(+3*logs), applied as (x + b) * s)."""
+    g = pl.program_id(0)
+    f32 = jnp.float32
+    halo = HALO
+    dtype = u_out.dtype
+    u = _win_cat(ut_ref, uh_ref, halo)   # [L, R_in]; row j = pos j - halo
+    v = _win_cat(vt_ref, vh_ref, halo)
+    ca = _win_cat(cat_ref, cah_ref, halo)
+    cb = _win_cat(cbt_ref, cbh_ref, halo)
+    r_in = u.shape[-1]
+    L = u.shape[0]
+    tile_start = (g % n_t) * t_tile
+    row0 = tile_start - halo             # global position of window row 0
+
+    def flow_w(fi):
+        return dict(front_w=front_w[fi], front_b=front_b[fi], kfg=kfg[fi],
+                    cond_w=cond_w[fi], cond_b=cond_b[fi], res_w=res_w[fi],
+                    res_b=res_b[fi], skip_w=skip_w[fi], skip_b=skip_b[fi],
+                    fin_w=fin_w[fi], fin_b=fin_b[fi], zw=zw[fi], zb=zb[fi])
+
+    # ActNorm forward (even): u half0, v half1
+    u0 = (u.astype(f32) + an_b[0, 0].astype(f32)) * an_s[0, 0].astype(f32)
+    v0 = (v.astype(f32) + an_b[0, 1].astype(f32)) * an_s[0, 1].astype(f32)
+    # u0 feeds the coupling net's convs: zero it outside the sequence
+    # (the XLA path gets this from zero-padded full-length tensors)
+    u0 = _mask_valid(u0.astype(dtype), row0, T)
+
+    # couple(even): v' = (v - t(u0)) * exp(-log_s(u0)) over rows [5, L-5)
+    l_mid = L - 10
+    net = _coupling_net(u0, ca, x_off=5, c_off=5, out_len=l_mid,
+                        row0=row0 + 5, T=T, dtype=dtype, **flow_w(0))
+    log_s, t = net[:, :r_in], net[:, r_in:]
+    v_mid = ((jax.lax.slice_in_dim(v0, 5, 5 + l_mid, axis=0) - t)
+             * jnp.exp(-log_s))
+
+    # ActNorm forward (odd): v half0, u half1
+    v1 = (v_mid + an_b[1, 0].astype(f32)) * an_s[1, 0].astype(f32)
+    u1 = ((jax.lax.slice_in_dim(u0, 5, 5 + l_mid, axis=0).astype(f32)
+           + an_b[1, 1].astype(f32)) * an_s[1, 1].astype(f32))
+    # v1 feeds the second coupling net: mask outside the sequence
+    v1m = _mask_valid(v1.astype(dtype), row0 + 5, T)
+
+    # couple(odd): u' = (u - t(v1)) * exp(-log_s(v1)) over rows [10, L-10)
+    l_out = L - 20
+    net2 = _coupling_net(v1m, cb, x_off=5, c_off=10, out_len=l_out,
+                         row0=row0 + 10, T=T, dtype=dtype, **flow_w(1))
+    log_s2, t2 = net2[:, :r_in], net2[:, r_in:]
+    u2 = ((jax.lax.slice_in_dim(u1, 5, 5 + l_out, axis=0) - t2)
+          * jnp.exp(-log_s2))
+
+    # outputs: u2 row i = pos row0+10+i, v1 row i = pos row0+5+i; crop both
+    # to the tile's own rows [tile_start, tile_start + t_tile)
+    u_out[0] = jax.lax.slice_in_dim(
+        u2, halo - 10, halo - 10 + t_tile, axis=0).astype(dtype)
+    v_out[0] = jax.lax.slice_in_dim(
+        v1, halo - 5, halo - 5 + t_tile, axis=0).astype(dtype)
+
+    # raw -log_s sum over the tile's own VALID rows (logdet numerator).
+    # log_s row i = pos row0+5+i -> tile starts at index halo-5; log_s2
+    # row i = pos row0+10+i -> index halo-10.
+    ls_e = jax.lax.slice_in_dim(log_s, halo - 5, halo - 5 + t_tile, axis=0)
+    ls_o = jax.lax.slice_in_dim(log_s2, halo - 10, halo - 10 + t_tile,
+                                axis=0)
+    pos = tile_start + jax.lax.broadcasted_iota(
+        jnp.int32, (t_tile, 1), 0)
+    valid = pos < T                       # tile rows are always >= 0
+    s = jnp.sum(jnp.where(valid, -(ls_e + ls_o), 0.0))
+    ld_out[0, 0] = jnp.full((128,), s, f32)
+
+
+def pair_forward_operands(pair: dict, dtype=jnp.bfloat16):
+    """Kernel operands for one FORWARD flow pair: identical folding to
+    pair_reverse_operands except the ActNorm halves are in forward form
+    (s = exp(+3*logs), applied (x + b) * s)."""
+    even = jax.tree.map(lambda l: l[0], pair)
+    odd = jax.tree.map(lambda l: l[1], pair)
+    per_flow = [_flow_operands(even, dtype), _flow_operands(odd, dtype)]
+    stacked = [jnp.stack([a, b]) for a, b in zip(*per_flow)]
+
+    def an_halves(fp):
+        logs3 = fp["actnorm"]["logs"].astype(jnp.float32)[0, 0] * 3.0
+        b = fp["actnorm"]["b"].astype(jnp.float32)[0, 0]
+        c2 = logs3.shape[0] // 2
+        s = jnp.exp(logs3)
+        return (jnp.stack([s[:c2], s[c2:]]), jnp.stack([b[:c2], b[c2:]]))
+
+    an_e, an_o = an_halves(even), an_halves(odd)
+    an_s = jnp.stack([an_e[0], an_o[0]])    # [flow, half, R_in]
+    an_b = jnp.stack([an_e[1], an_o[1]])
+    return tuple(stacked) + (an_s, an_b)
+
+
+def fused_pair_forward(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
+                       interpret: bool = False):
+    """Apply one FORWARD flow pair.  u, v: [B, T, R_in]; c_*: [B, T, Cc];
+    ``operands`` from pair_forward_operands.  Returns (u', v', neg_logs_sum)
+    where neg_logs_sum is the raw fp32 sum of -log_s over both couplings
+    (caller normalizes to the reference's mean(-log_s)/2 logdet)."""
+    B, T, R_in = u.shape
+    dtype = u.dtype
+    halo = HALO
+    t_tile, n_t, T_pad = _fit_tile(T, t_tile, 16, halo)
+
+    ut, uh = _tiles_and_halos(u, t_tile, n_t, T_pad, halo)
+    vt, vh = _tiles_and_halos(v, t_tile, n_t, T_pad, halo)
+    cat, cah = _tiles_and_halos(c_a, t_tile, n_t, T_pad, halo)
+    cbt, cbh = _tiles_and_halos(c_b, t_tile, n_t, T_pad, halo)
+    Cc = c_a.shape[-1]
+
+    kernel = functools.partial(_pair_kernel_fw, t_tile=t_tile, n_t=n_t, T=T)
+    grid = (B * n_t,)
+
+    def in_map(g):
+        return (g // n_t, g % n_t, 0, 0)
+
+    def out_map(g):
+        return (g // n_t, g % n_t, 0)
+
+    def tile_spec(C):
+        return pl.BlockSpec((1, 1, t_tile, C), in_map,
+                            memory_space=pltpu.VMEM)
+
+    def halo_spec(C):
+        return pl.BlockSpec((1, 1, 2 * halo, C), in_map,
+                            memory_space=pltpu.VMEM)
+
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    flops_net = 2 * T * (2 * 3 * 256 * 512 + 2 * Cc * 512 + 2 * 256 * 256
+                         + 256 * 256 + 3 * R_in * 256 + 256 * 2 * R_in)
+    u2, v2, ld = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            tile_spec(R_in), halo_spec(R_in),
+            tile_spec(R_in), halo_spec(R_in),
+            tile_spec(Cc), halo_spec(Cc),
+            tile_spec(Cc), halo_spec(Cc),
+        ] + [wspec] * len(operands),
+        out_specs=[
+            pl.BlockSpec((1, t_tile, R_in), out_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_tile, R_in), out_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, T_pad, R_in), dtype),
+                   jax.ShapeDtypeStruct((B, T_pad, R_in), dtype),
+                   jax.ShapeDtypeStruct((B * n_t, 1, 128), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * flops_net,
+            bytes_accessed=(ut.size + vt.size + cat.size + cbt.size
+                            + 2 * B * T_pad * R_in) * dtype.itemsize,
+            transcendentals=2 * B * T * 512 * 2,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) if _GRID_ARBITRARY
+            else ("parallel",),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(ut, uh, vt, vh, cat, cah, cbt, cbh, *operands)
+    if T_pad != T:
+        u2, v2 = u2[:, :T], v2[:, :T]
+    return u2, v2, jnp.sum(ld[:, 0, 0])

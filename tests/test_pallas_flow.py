@@ -441,3 +441,99 @@ def test_hoisted_in_model_routing(key, rng, monkeypatch):
     fast = np.asarray(reverse(params, cfg_on, z, mel))
     np.testing.assert_allclose(fast, base, rtol=2e-5, atol=2e-5)
     assert np.all(np.isfinite(fast))
+
+
+# ---------------------------------------------------------------------------
+# FORWARD pair kernel (training / NLL eval)
+# ---------------------------------------------------------------------------
+
+def _xla_pair_forward(bp, cfg, u, v, c_a, c_b):
+    (u, v), lds = jax.lax.scan(
+        fwn._pair_step_fwd(cfg, c_a, c_b, None, None), (u, v),
+        fwn._pair_params(bp))
+    return u, v, jnp.sum(lds)
+
+
+@pytest.mark.parametrize("T,t_tile", [(128, 128), (192, 64), (96, 32)])
+def test_pair_forward_kernel_matches_xla(key, rng, T, t_tile):
+    """Forward kernel == XLA pair-scan (outputs AND logdet) across tile
+    boundaries and ragged final tiles."""
+    from flowavenet_tpu.ops.pallas_flow import (fused_pair_forward,
+                                                pair_forward_operands)
+    cfg = CFG
+    params = _randomized(key, cfg)
+    bp = params["blocks"][0]
+    B = 2
+    u = jnp.asarray(rng.randn(B, T, 1), jnp.float32)
+    v = jnp.asarray(rng.randn(B, T, 1), jnp.float32)
+    c_a = jnp.asarray(rng.randn(B, T, cfg.num_mels), jnp.float32)
+    c_b = jnp.asarray(rng.randn(B, T, cfg.num_mels), jnp.float32)
+
+    u_ref, v_ref, ld_ref = _xla_pair_forward(bp, cfg, u, v, c_a, c_b)
+    pair = jax.tree.map(lambda l: l[0], fwn._pair_params(bp))
+    ops = pair_forward_operands(pair, dtype=jnp.float32)
+    u_k, v_k, s = fused_pair_forward(u, v, c_a, c_b, ops, t_tile=t_tile,
+                                     interpret=True)
+    even = jax.tree.map(lambda l: l[0], pair)
+    odd = jax.tree.map(lambda l: l[1], pair)
+    ld_k = (fwn._an_logdet(even["actnorm"]) + fwn._an_logdet(odd["actnorm"])
+            + s / (B * T * u.shape[-1]) / 2.0)
+    np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(float(ld_k), float(ld_ref), rtol=1e-5)
+
+
+def test_pair_forward_fused_grads_match_xla(key, rng):
+    """custom_vjp route: primal from the kernel, gradients from the XLA
+    re-derivation — grads must equal jax.grad of the pure-XLA mirror."""
+    cfg = CFG
+    params = _randomized(key, cfg)
+    bp = params["blocks"][0]
+    T = 96
+    u = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    v = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    c_a = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    c_b = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    pair = jax.tree.map(lambda l: l[0], fwn._pair_params(bp))
+
+    def loss_fused(pair, u, v, c_a):
+        u2, v2, s = fwn._pair_fwd_fused(True, pair, u, v, c_a, c_b)
+        return jnp.sum(u2) + 2.0 * jnp.sum(v2) + 0.1 * s
+
+    def loss_ref(pair, u, v, c_a):
+        u2, v2, s = fwn._pair_fwd_ref(pair, u, v, c_a, c_b)
+        return jnp.sum(u2) + 2.0 * jnp.sum(v2) + 0.1 * s
+
+    lf = loss_fused(pair, u, v, c_a)
+    lr = loss_ref(pair, u, v, c_a)
+    np.testing.assert_allclose(float(lf), float(lr), rtol=1e-5)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(pair, u, v, c_a)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(pair, u, v, c_a)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_fwd_kernel_model_loss_matches_xla(key, rng, monkeypatch):
+    """Full tiny model: loss_fn with the forward kernel routed == pure XLA
+    (value AND gradients)."""
+    import dataclasses as dc
+    from flowavenet_tpu.models.flowavenet import loss_fn
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_CPU_INTERPRET", True)
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_FWD", True)
+    cfg_off = dc.replace(CFG, use_pallas=False)
+    cfg_on = dc.replace(CFG, use_pallas=True)
+    params = _randomized(key, cfg_off)
+    x = jnp.asarray(0.1 * rng.randn(2, 4096, 1), jnp.float32)
+    mel = jnp.asarray(rng.rand(2, 4096 // cfg_off.hop_size,
+                               cfg_off.num_mels), jnp.float32)
+    base, _ = loss_fn(params, cfg_off, x, mel)
+    fast, _ = loss_fn(params, cfg_on, x, mel)
+    np.testing.assert_allclose(float(fast), float(base), rtol=2e-5)
+    gb = jax.grad(lambda p: loss_fn(p, cfg_off, x, mel)[0])(params)
+    gk = jax.grad(lambda p: loss_fn(p, cfg_on, x, mel)[0])(params)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
