@@ -288,10 +288,12 @@ PAIR_KERNEL_WINO_MAX_CC = _env_int("FWN_WINO_MAX_CC", 320)
 PAIR_KERNEL_INT8 = _INT8_FLAG
 
 # Hoisted-conditioning pair kernel for the deep blocks.  Measured at
-# t_tile 1024 (b96 x 4s) it LOSES to in-model XLA (e2e 1205 vs 1108 ms;
-# the round-1 stage profile overstated XLA's deep-block cost — in-model
-# XLA runs blocks 4-7 in ~190 ms total at ~60% MXU).  Off pending tuning.
-PAIR_KERNEL_HOISTED = False
+# t_tile 1024 (b96 x 4s) in bf16 it LOSES to in-model XLA (e2e 1205 vs
+# 1108 ms; the round-1 stage profile overstated XLA's deep-block cost —
+# in-model XLA runs blocks 4-7 in ~190 ms total at ~60% MXU).  Off by
+# default; FWN_HOISTED=1 re-enables (with FWN_INT8 the fused pair's fg
+# convs run on the int8 MXU, which may flip the verdict).
+PAIR_KERNEL_HOISTED = _env_flag("FWN_HOISTED")
 PAIR_KERNEL_HOISTED_T_TILE = 1024
 
 # Batch packing for the Winograd kernels: nb consecutive batch items share
@@ -527,11 +529,13 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
                 # pair's conditioning pre-activations with ONE big matmul
                 # per c half (K = Cc/2 up to 10240 — MXU-friendly), then
                 # run the fused kernel on the streamed planes.
+                make_hoisted = (pf.pair_reverse_operands_hoisted_int8
+                                if PAIR_KERNEL_INT8
+                                else pf.pair_reverse_operands_hoisted)
                 ops, we, wo = [], [], []
                 for i in range(n_pair):
                     pair = jax.tree.map(lambda l, _i=i: l[_i], pp)
-                    o, (w_e, w_o) = pf.pair_reverse_operands_hoisted(
-                        pair, dtype=x.dtype)
+                    o, (w_e, w_o) = make_hoisted(pair, dtype=x.dtype)
                     ops.append(o)
                     we.append(w_e)
                     wo.append(w_o)
@@ -547,7 +551,8 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
                         u, v, ce[..., i * pw:(i + 1) * pw],
                         co[..., i * pw:(i + 1) * pw], ops[i],
                         t_tile=PAIR_KERNEL_HOISTED_T_TILE,
-                        interpret=interp, hoisted=True)
+                        interpret=interp, hoisted=True,
+                        int8=PAIR_KERNEL_INT8)
             else:
                 # Winograd (F(4,3) 12-phase / F(2,3) 6-phase) for the
                 # narrow-cond blocks; direct-conv kernel otherwise
@@ -562,7 +567,8 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
                     run = functools.partial(pf.fused_chain_reverse_wino,
                                             nb=nb)
                 elif mode == "int8":
-                    make_ops = pf.pair_reverse_operands_int8
+                    make_ops = functools.partial(
+                        pf.pair_reverse_operands_int8, cond=pf.INT8_COND)
                     run = functools.partial(pf.fused_chain_reverse,
                                             int8=True)
                 else:

@@ -52,25 +52,36 @@ VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 SQRT_HALF = 0.7071067811865476
 
 # Precision of the tanh/sigmoid gate evaluation inside the kernel.  fp32
-# matches the XLA path bit-for-bit; bfloat16 halves the VPU work (the gates
-# are the kernel's main non-MXU cost) at ~1e-2 relative gate error — below
-# the bf16 rounding already present on every matmul edge.  Default fp32
-# until quality-checked end to end; FWN_GATE_BF16=1 flips it (bench knob).
+# matches the XLA path bit-for-bit; bfloat16 would halve the VPU work but
+# MEASURED SLOWER end to end (b128 x 3.83 s with int8: 1115.3 vs 1084.4
+# ms — the exp-based tanh/sigmoid workaround for the Mosaic bf16
+# vector.broadcast bug costs more than the narrower VPU lanes save).
+# FWN_GATE_BF16=1 keeps the probe available.
 from ..utils.flags import env_flag as _env_flag, env_int as _env_int
 
 GATE_DTYPE = jnp.bfloat16 if _env_flag("FWN_GATE_BF16") else jnp.float32
 
-# Accumulation dtype for the kernels' conv/skip/final chains.  fp32
-# bit-matches the XLA path; bfloat16 halves the VPU cost of the adds,
-# casts, and gate inputs.  The kernels are VPU-bound, not MXU-bound —
-# measured block 0 b96 x 4s: direct (57 TF) 444 ms vs wino6 (39.5 TF)
-# 402 ms, within 10% despite a 1.5x MXU FLOP gap.  FWN_ACC_BF16=1 flips
-# it (bench knob; default fp32 until quality-checked).
-ACC_DTYPE = jnp.bfloat16 if _env_flag("FWN_ACC_BF16") else jnp.float32
+# Accumulation dtype for the kernels' conv/skip/final chains.  fp32 only:
+# a bf16-accumulation variant (FWN_ACC_BF16, round 2) is REJECTED — the
+# current Mosaic toolchain requires 32-bit matmul accumulators ("Expected
+# matmul acc to be 32-bit" verifier error, measured 2026-08-17), so the
+# knob could only ever crash at runtime and has been removed.
+ACC_DTYPE = jnp.float32
 
 # Grid dimension semantics: tiles are independent, so "parallel" lets
 # Mosaic overlap adjacent grid steps; FWN_GRID_ARBITRARY=1 reverts.
 _GRID_ARBITRARY = _env_flag("FWN_GRID_ARBITRARY")
+
+# Time-tile for the direct (non-Winograd) pair kernels.  1024 was the
+# bf16 sweep winner (1536/2048 lose/exceed VMEM); int8 weights halve the
+# resident footprint, so larger tiles may fit — FWN_DIRECT_TT re-sweeps.
+DIRECT_T_TILE = _env_int("FWN_DIRECT_TT", 1024, multiple_of=16)
+
+# int8 mode also quantizes the conditioning 1x1 matmuls (the second-
+# largest MXU consumer in the direct kernel — Cc/2 reaches 640 at block
+# 3).  Quality-gated on trained weights like the fg quantization
+# (tools/int8_quality_gate.py); FWN_INT8_COND=0 restores bf16 cond.
+INT8_COND = _env_flag("FWN_INT8_COND", default=True)
 
 
 def _conv3_int8(buf, wq, wscale, *, off: int, length: int,
@@ -197,6 +208,20 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
         def conv_fg(buf, l, off, length, dil):
             return _conv3(buf, kfg[l], off=off, length=length,
                           dilation=dil)
+    if isinstance(cond_w, tuple):        # int8 cond path: (cq, cscale)
+        cq, cs = cond_w
+        c_amax = jnp.max(jnp.abs(c_buf.astype(jnp.float32)))
+        c_scale = jnp.maximum(c_amax, 1e-30) * (1.0 / 127.0)
+        c_q = jnp.clip(jnp.round(c_buf.astype(jnp.float32) / c_scale),
+                       -127.0, 127.0).astype(jnp.int8)
+
+        def cond_dot(l, off, length):
+            tap = jax.lax.slice_in_dim(c_q, off, off + length, axis=0)
+            o = jnp.dot(tap, cq[l], preferred_element_type=jnp.int32)
+            return (o.astype(jnp.float32)
+                    * (c_scale * cs[l])[None, :]).astype(acc)
+    else:
+        cond_dot = None
     # h0 = relu(front(x)) over [-4, out_len+4)
     l_h0 = out_len + 8
     h0 = _conv3(x_buf, front_w, off=x_off - 4, length=l_h0, dilation=1)
@@ -206,11 +231,15 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
     # layer 0 (d=1): fg over [-3, out_len+3)
     l_g0 = out_len + 6
     fg0 = conv_fg(h0, 0, 1, l_g0, 1)
-    c0 = jax.lax.slice_in_dim(c_buf, c_off - 3, c_off - 3 + l_g0, axis=0)
-    if cond_w is None:
-        fg0 += c0[:, :w2r].astype(acc)
+    if cond_dot is not None:
+        fg0 += cond_dot(0, c_off - 3, l_g0)
     else:
-        fg0 += jnp.dot(c0, cond_w[0], preferred_element_type=acc)
+        c0 = jax.lax.slice_in_dim(c_buf, c_off - 3, c_off - 3 + l_g0,
+                                  axis=0)
+        if cond_w is None:
+            fg0 += c0[:, :w2r].astype(acc)
+        else:
+            fg0 += jnp.dot(c0, cond_w[0], preferred_element_type=acc)
     fg0 += cond_b[0].astype(acc)
     r = fg0.shape[-1] // 2
     gated0 = _gated(fg0, r, dtype)
@@ -225,11 +254,14 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
 
     # layer 1 (d=3): fg over [0, out_len)
     fg1 = conv_fg(h1, 1, 3, out_len, 3)
-    c1 = jax.lax.slice_in_dim(c_buf, c_off, c_off + out_len, axis=0)
-    if cond_w is None:
-        fg1 += c1[:, w2r:].astype(acc)
+    if cond_dot is not None:
+        fg1 += cond_dot(1, c_off, out_len)
     else:
-        fg1 += jnp.dot(c1, cond_w[1], preferred_element_type=acc)
+        c1 = jax.lax.slice_in_dim(c_buf, c_off, c_off + out_len, axis=0)
+        if cond_w is None:
+            fg1 += c1[:, w2r:].astype(acc)
+        else:
+            fg1 += jnp.dot(c1, cond_w[1], preferred_element_type=acc)
     fg1 += cond_b[1].astype(acc)
     gated1 = _gated(fg1, r, dtype)
 
@@ -287,9 +319,15 @@ def _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref, cbt_ref,
     def flow_w(pi, fi):
         k_i = ((kfg[0][pi, fi], kfg[1][pi, fi]) if isinstance(kfg, tuple)
                else kfg[pi, fi])
+        if cond_w is None:
+            c_i = None
+        elif isinstance(cond_w, tuple):   # int8: (cq, cscale)
+            c_i = (cond_w[0][pi, fi], cond_w[1][pi, fi])
+        else:
+            c_i = cond_w[pi, fi]
         return dict(front_w=front_w[pi, fi], front_b=front_b[pi, fi],
                     kfg=k_i,
-                    cond_w=None if cond_w is None else cond_w[pi, fi],
+                    cond_w=c_i,
                     cond_b=cond_b[pi, fi], res_w=res_w[pi, fi],
                     res_b=res_b[pi, fi], skip_w=skip_w[pi, fi],
                     skip_b=skip_b[pi, fi], fin_w=fin_w[pi, fi],
@@ -355,6 +393,38 @@ def _pair_kernel_i8(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
     _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
                  cbt_ref, cbh_ref, front_w, front_b, (kfg, kfg_scale),
                  cond_w, cond_b, res_w, res_b, skip_w, skip_b, fin_w,
+                 fin_b, zw, zb, an_s, an_b, u_out, v_out,
+                 t_tile=t_tile, n_t=n_t, T=T, n_pair=n_pair)
+
+
+def _pair_kernel_i8c(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
+                     cbt_ref, cbh_ref, front_w, front_b, kfg, cond_w,
+                     cond_b, res_w, res_b, skip_w, skip_b, fin_w, fin_b,
+                     zw, zb, an_s, an_b, kfg_scale, cond_scale, u_out,
+                     v_out, *, t_tile: int, n_t: int, T: int,
+                     n_pair: int = 1):
+    """int8 fg AND cond variant: both weight sets are int8 with trailing
+    per-channel scales; conditioning activations are quantized once per
+    coupling-net call inside the kernel."""
+    _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
+                 cbt_ref, cbh_ref, front_w, front_b, (kfg, kfg_scale),
+                 (cond_w, cond_scale), cond_b, res_w, res_b, skip_w,
+                 skip_b, fin_w, fin_b, zw, zb, an_s, an_b, u_out, v_out,
+                 t_tile=t_tile, n_t=n_t, T=T, n_pair=n_pair)
+
+
+def _pair_kernel_hoisted_i8(ut_ref, uh_ref, vt_ref, vh_ref, cet_ref,
+                            ceh_ref, cot_ref, coh_ref, front_w, front_b,
+                            kfg, cond_b, res_w, res_b, skip_w, skip_b,
+                            fin_w, fin_b, zw, zb, an_s, an_b, kfg_scale,
+                            u_out, v_out, *, t_tile: int, n_t: int,
+                            T: int, n_pair: int = 1):
+    """Hoisted conditioning + int8 fg convs (deep blocks: the huge cond
+    matmuls run OUTSIDE as big-K XLA dots, the fused pair runs its fg
+    convs on the int8 MXU)."""
+    _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cet_ref, ceh_ref,
+                 cot_ref, coh_ref, front_w, front_b, (kfg, kfg_scale),
+                 None, cond_b, res_w, res_b, skip_w, skip_b, fin_w,
                  fin_b, zw, zb, an_s, an_b, u_out, v_out,
                  t_tile=t_tile, n_t=n_t, T=T, n_pair=n_pair)
 
@@ -440,10 +510,16 @@ def pair_reverse_operands(pair: dict, dtype=jnp.bfloat16):
 _COND_W_IDX = 3
 
 
-def pair_reverse_operands_int8(pair: dict, dtype=jnp.bfloat16):
+def pair_reverse_operands_int8(pair: dict, dtype=jnp.bfloat16,
+                               cond: bool = False):
     """Operands for the int8-fg direct kernel: kfg quantized to int8 with
     per-(flow, layer, out-channel) scales APPENDED as the last operand
-    (fp32 [2, n_layer, 2R])."""
+    (fp32 [2, n_layer, 2R]).
+
+    ``cond=True`` additionally quantizes the conditioning 1x1 weights
+    (per-(flow, layer, out-channel) scales appended after the kfg scale);
+    the kernel then runs the cond matmuls on the int8 MXU too
+    (_pair_kernel_i8c)."""
     ops = list(pair_reverse_operands(pair, dtype))
     kfg = ops[2].astype(jnp.float32)            # [2, nl, 3, Cin, 2R]
     amax = jnp.max(jnp.abs(kfg), axis=(2, 3))   # [2, nl, 2R]
@@ -452,7 +528,31 @@ def pair_reverse_operands_int8(pair: dict, dtype=jnp.bfloat16):
                   -127.0, 127.0).astype(jnp.int8)
     ops[2] = wq
     ops.append(scale)
+    if cond:
+        cw = ops[_COND_W_IDX].astype(jnp.float32)   # [2, nl, Cc, 2R]
+        camax = jnp.max(jnp.abs(cw), axis=2)        # [2, nl, 2R]
+        cscale = jnp.maximum(camax, 1e-30) * (1.0 / 127.0)
+        cq = jnp.clip(jnp.round(cw / cscale[:, :, None, :]),
+                      -127.0, 127.0).astype(jnp.int8)
+        ops[_COND_W_IDX] = cq
+        ops.append(cscale)
     return tuple(ops)
+
+
+def pair_reverse_operands_hoisted_int8(pair: dict, dtype=jnp.bfloat16):
+    """Hoisted-conditioning operands with int8 fg convs: like
+    pair_reverse_operands_hoisted but kfg is quantized (scale appended),
+    for _pair_kernel_hoisted_i8."""
+    ops, hoist = pair_reverse_operands_hoisted(pair, dtype)
+    ops = list(ops)
+    kfg = ops[2].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(kfg), axis=(2, 3))
+    scale = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
+    wq = jnp.clip(jnp.round(kfg / scale[:, :, None, None, :]),
+                  -127.0, 127.0).astype(jnp.int8)
+    ops[2] = wq
+    ops.append(scale)
+    return tuple(ops), hoist
 
 
 def pair_reverse_operands_hoisted(pair: dict, dtype=jnp.bfloat16):
@@ -586,7 +686,7 @@ def stack_chain_operands(per_pair_ops: list[tuple]) -> tuple:
 
 
 def fused_chain_reverse(u, v, c_a, c_b, operands, *, n_pair: int,
-                        t_tile: int = 1024, interpret: bool = False,
+                        t_tile: int | None = None, interpret: bool = False,
                         hoisted: bool = False, int8: bool = False):
     """Apply a chain of ``n_pair`` reverse flow pairs (one whole block) in
     ONE kernel launch.  u, v: [B, T, R_in]; c_*: [B, T, Cc]; ``operands``
@@ -602,6 +702,8 @@ def fused_chain_reverse(u, v, c_a, c_b, operands, *, n_pair: int,
     B, T, R_in = u.shape
     dtype = u.dtype
     halo = _chain_halo(n_pair)
+    if t_tile is None:
+        t_tile = DIRECT_T_TILE
     t_tile, n_t, T_pad = _fit_tile(T, t_tile, 16, halo)
 
     ut, uh = _tiles_and_halos(u, t_tile, n_t, T_pad, halo)
@@ -610,8 +712,17 @@ def fused_chain_reverse(u, v, c_a, c_b, operands, *, n_pair: int,
     cbt, cbh = _tiles_and_halos(c_b, t_tile, n_t, T_pad, halo)
     Cc = c_a.shape[-1]
 
-    kern = (_pair_kernel_hoisted if hoisted
-            else _pair_kernel_i8 if int8 else _pair_kernel)
+    # int8-cond operand tuples carry an int8 cond_w (at index 3 of the
+    # stacked operands) plus a trailing cond scale
+    int8_cond = int8 and operands[_COND_W_IDX].dtype == jnp.int8
+    if hoisted:
+        kern = _pair_kernel_hoisted_i8 if int8 else _pair_kernel_hoisted
+    elif int8_cond:
+        kern = _pair_kernel_i8c
+    elif int8:
+        kern = _pair_kernel_i8
+    else:
+        kern = _pair_kernel
     kernel = functools.partial(kern, t_tile=t_tile, n_t=n_t, T=T,
                                n_pair=n_pair)
     grid = (B * n_t,)
