@@ -567,8 +567,7 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
                     run = functools.partial(pf.fused_chain_reverse_wino,
                                             nb=nb)
                 elif mode == "int8":
-                    make_ops = functools.partial(
-                        pf.pair_reverse_operands_int8, cond=pf.INT8_COND)
+                    make_ops = pf.pair_reverse_operands_int8
                     run = functools.partial(pf.fused_chain_reverse,
                                             int8=True)
                 else:

@@ -74,14 +74,35 @@ _GRID_ARBITRARY = _env_flag("FWN_GRID_ARBITRARY")
 
 # Time-tile for the direct (non-Winograd) pair kernels.  1024 was the
 # bf16 sweep winner (1536/2048 lose/exceed VMEM); int8 weights halve the
-# resident footprint, so larger tiles may fit — FWN_DIRECT_TT re-sweeps.
-DIRECT_T_TILE = _env_int("FWN_DIRECT_TT", 1024, multiple_of=16)
+# resident footprint and 1536 WINS there (b128 x 3.83 s: 1049.5 vs
+# 1064.3 ms), so the default follows the mode.  FWN_DIRECT_TT overrides.
+DIRECT_T_TILE = _env_int("FWN_DIRECT_TT",
+                         1536 if _env_flag("FWN_INT8") else 1024,
+                         multiple_of=16)
 
-# int8 mode also quantizes the conditioning 1x1 matmuls (the second-
-# largest MXU consumer in the direct kernel — Cc/2 reaches 640 at block
-# 3).  Quality-gated on trained weights like the fg quantization
-# (tools/int8_quality_gate.py); FWN_INT8_COND=0 restores bf16 cond.
-INT8_COND = _env_flag("FWN_INT8_COND", default=True)
+# int8 mode quantizes the fg convs, the conditioning 1x1 matmuls (the
+# direct kernel's second-largest MXU consumer — Cc/2 reaches 640 at
+# block 3), and the res/skip/final matmuls; only the tiny front conv and
+# the zero conv (whose output IS log_s/t) stay high-precision.  Quality-
+# gated on trained weights: tools/int8_quality_gate.py.
+
+
+def _quant_act(x):
+    """max-abs int8 quantization of a VMEM value: (q_int8, f32 scale)."""
+    f32 = jnp.float32
+    amax = jnp.max(jnp.abs(x.astype(f32)))
+    scale = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(x.astype(f32) / scale), -127.0, 127.0
+                 ).astype(jnp.int8)
+    return q, scale
+
+
+def _dot_int8(x, wq, wscale):
+    """x @ w on the int8 MXU: activations quantized per call, weights
+    pre-quantized with per-out-channel scales.  Returns ACC_DTYPE."""
+    q, s = _quant_act(x)
+    o = jnp.dot(q, wq, preferred_element_type=jnp.int32)
+    return (o.astype(jnp.float32) * (s * wscale)[None, :]).astype(ACC_DTYPE)
 
 
 def _conv3_int8(buf, wq, wscale, *, off: int, length: int,
@@ -90,10 +111,7 @@ def _conv3_int8(buf, wq, wscale, *, off: int, length: int,
     per call with a max-abs scale; wq int8 [3, Cin, Cout] with per-channel
     wscale f32 [Cout].  Returns ACC_DTYPE like _conv3."""
     f32 = jnp.float32
-    amax = jnp.max(jnp.abs(buf.astype(f32)))
-    a_scale = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
-    q = jnp.clip(jnp.round(buf.astype(f32) / a_scale), -127.0, 127.0
-                 ).astype(jnp.int8)
+    q, a_scale = _quant_act(buf)
     acc = None
     for k in range(3):
         start = off - dilation + k * dilation
@@ -245,8 +263,13 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
     gated0 = _gated(fg0, r, dtype)
     # res and skip0 share the same input: one [R, 2R] dot (the weight
     # concat is loop-invariant and tiny)
-    rs_w = jnp.concatenate([res_w, skip_w[0]], axis=-1)
-    rs = jnp.dot(gated0, rs_w, preferred_element_type=acc)
+    if isinstance(res_w, tuple):          # int8 rs path: (wq, wscale)
+        rs_wq = jnp.concatenate([res_w[0], skip_w[0][0]], axis=-1)
+        rs_ws = jnp.concatenate([res_w[1], skip_w[1][0]], axis=-1)
+        rs = _dot_int8(gated0, rs_wq, rs_ws)
+    else:
+        rs_w = jnp.concatenate([res_w, skip_w[0]], axis=-1)
+        rs = jnp.dot(gated0, rs_w, preferred_element_type=acc)
     res0 = rs[:, :r] + res_b.astype(acc)
     h0_mid = jax.lax.slice_in_dim(h0, 1, 1 + l_g0, axis=0)
     h1 = ((h0_mid.astype(acc) + res0) * SQRT_HALF).astype(dtype)
@@ -267,11 +290,17 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
 
     sk0 = jax.lax.slice_in_dim(rs[:, r:], 3, 3 + out_len, axis=0)
     sk0 += skip_b[0].astype(acc)
-    sk1 = jnp.dot(gated1, skip_w[1], preferred_element_type=acc)
+    if isinstance(skip_w, tuple):
+        sk1 = _dot_int8(gated1, skip_w[0][1], skip_w[1][1])
+    else:
+        sk1 = jnp.dot(gated1, skip_w[1], preferred_element_type=acc)
     sk1 += skip_b[1].astype(acc)
 
     out = jnp.maximum(sk0 + sk1, 0.0).astype(dtype)
-    out = jnp.dot(out, fin_w, preferred_element_type=acc)
+    if isinstance(fin_w, tuple):
+        out = _dot_int8(out, fin_w[0], fin_w[1])
+    else:
+        out = jnp.dot(out, fin_w, preferred_element_type=acc)
     out = jnp.maximum(out + fin_b.astype(acc), 0.0).astype(dtype)
     # zero conv with exp(3*scale) folded into zw/zb; fp32 for the
     # downstream affine exp/update regardless of ACC_DTYPE
@@ -316,21 +345,21 @@ def _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref, cbt_ref,
     r_in = u.shape[-1]
     tile_start = (g % n_t) * t_tile
 
+    def _idx(w, pi, fi):
+        """Index one flow's weight; int8 (wq, wscale) tuples ride along."""
+        if w is None:
+            return None
+        if isinstance(w, tuple):
+            return (w[0][pi, fi], w[1][pi, fi])
+        return w[pi, fi]
+
     def flow_w(pi, fi):
-        k_i = ((kfg[0][pi, fi], kfg[1][pi, fi]) if isinstance(kfg, tuple)
-               else kfg[pi, fi])
-        if cond_w is None:
-            c_i = None
-        elif isinstance(cond_w, tuple):   # int8: (cq, cscale)
-            c_i = (cond_w[0][pi, fi], cond_w[1][pi, fi])
-        else:
-            c_i = cond_w[pi, fi]
         return dict(front_w=front_w[pi, fi], front_b=front_b[pi, fi],
-                    kfg=k_i,
-                    cond_w=c_i,
-                    cond_b=cond_b[pi, fi], res_w=res_w[pi, fi],
-                    res_b=res_b[pi, fi], skip_w=skip_w[pi, fi],
-                    skip_b=skip_b[pi, fi], fin_w=fin_w[pi, fi],
+                    kfg=_idx(kfg, pi, fi),
+                    cond_w=_idx(cond_w, pi, fi),
+                    cond_b=cond_b[pi, fi], res_w=_idx(res_w, pi, fi),
+                    res_b=res_b[pi, fi], skip_w=_idx(skip_w, pi, fi),
+                    skip_b=skip_b[pi, fi], fin_w=_idx(fin_w, pi, fi),
                     fin_b=fin_b[pi, fi], zw=zw[pi, fi], zb=zb[pi, fi])
 
     off = 0  # rows consumed per side so far; buffer row 0 = window row off
@@ -387,29 +416,19 @@ def _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref, cbt_ref,
 def _pair_kernel_i8(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
                     cbt_ref, cbh_ref, front_w, front_b, kfg, cond_w,
                     cond_b, res_w, res_b, skip_w, skip_b, fin_w, fin_b,
-                    zw, zb, an_s, an_b, kfg_scale, u_out, v_out,
+                    zw, zb, an_s, an_b, kfg_scale, cond_scale, res_scale,
+                    skip_scale, fin_scale, u_out, v_out,
                     *, t_tile: int, n_t: int, T: int, n_pair: int = 1):
-    """int8-fg variant: kfg is int8 with trailing per-channel scales."""
+    """Full-int8 variant: the fg convs, conditioning 1x1s, and the
+    res/skip/final matmuls all run on the int8 MXU (weights pre-quantized
+    with per-out-channel scales; activations quantized per call).  Only
+    the tiny front conv and the zero conv stay bf16/fp32 — the zero
+    conv's output IS log_s/t and wants full precision."""
     _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
                  cbt_ref, cbh_ref, front_w, front_b, (kfg, kfg_scale),
-                 cond_w, cond_b, res_w, res_b, skip_w, skip_b, fin_w,
+                 (cond_w, cond_scale), cond_b, (res_w, res_scale), res_b,
+                 (skip_w, skip_scale), skip_b, (fin_w, fin_scale),
                  fin_b, zw, zb, an_s, an_b, u_out, v_out,
-                 t_tile=t_tile, n_t=n_t, T=T, n_pair=n_pair)
-
-
-def _pair_kernel_i8c(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
-                     cbt_ref, cbh_ref, front_w, front_b, kfg, cond_w,
-                     cond_b, res_w, res_b, skip_w, skip_b, fin_w, fin_b,
-                     zw, zb, an_s, an_b, kfg_scale, cond_scale, u_out,
-                     v_out, *, t_tile: int, n_t: int, T: int,
-                     n_pair: int = 1):
-    """int8 fg AND cond variant: both weight sets are int8 with trailing
-    per-channel scales; conditioning activations are quantized once per
-    coupling-net call inside the kernel."""
-    _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
-                 cbt_ref, cbh_ref, front_w, front_b, (kfg, kfg_scale),
-                 (cond_w, cond_scale), cond_b, res_w, res_b, skip_w,
-                 skip_b, fin_w, fin_b, zw, zb, an_s, an_b, u_out, v_out,
                  t_tile=t_tile, n_t=n_t, T=T, n_pair=n_pair)
 
 
@@ -417,14 +436,16 @@ def _pair_kernel_hoisted_i8(ut_ref, uh_ref, vt_ref, vh_ref, cet_ref,
                             ceh_ref, cot_ref, coh_ref, front_w, front_b,
                             kfg, cond_b, res_w, res_b, skip_w, skip_b,
                             fin_w, fin_b, zw, zb, an_s, an_b, kfg_scale,
+                            res_scale, skip_scale, fin_scale,
                             u_out, v_out, *, t_tile: int, n_t: int,
                             T: int, n_pair: int = 1):
-    """Hoisted conditioning + int8 fg convs (deep blocks: the huge cond
-    matmuls run OUTSIDE as big-K XLA dots, the fused pair runs its fg
-    convs on the int8 MXU)."""
+    """Hoisted conditioning + int8 (deep blocks: the huge cond matmuls
+    run OUTSIDE as big-K XLA dots, the fused pair runs fg/res/skip/final
+    on the int8 MXU)."""
     _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cet_ref, ceh_ref,
                  cot_ref, coh_ref, front_w, front_b, (kfg, kfg_scale),
-                 None, cond_b, res_w, res_b, skip_w, skip_b, fin_w,
+                 None, cond_b, (res_w, res_scale), res_b,
+                 (skip_w, skip_scale), skip_b, (fin_w, fin_scale),
                  fin_b, zw, zb, an_s, an_b, u_out, v_out,
                  t_tile=t_tile, n_t=n_t, T=T, n_pair=n_pair)
 
@@ -510,49 +531,57 @@ def pair_reverse_operands(pair: dict, dtype=jnp.bfloat16):
 _COND_W_IDX = 3
 
 
-def pair_reverse_operands_int8(pair: dict, dtype=jnp.bfloat16,
-                               cond: bool = False):
-    """Operands for the int8-fg direct kernel: kfg quantized to int8 with
-    per-(flow, layer, out-channel) scales APPENDED as the last operand
-    (fp32 [2, n_layer, 2R]).
-
-    ``cond=True`` additionally quantizes the conditioning 1x1 weights
-    (per-(flow, layer, out-channel) scales appended after the kfg scale);
-    the kernel then runs the cond matmuls on the int8 MXU too
-    (_pair_kernel_i8c)."""
-    ops = list(pair_reverse_operands(pair, dtype))
-    kfg = ops[2].astype(jnp.float32)            # [2, nl, 3, Cin, 2R]
-    amax = jnp.max(jnp.abs(kfg), axis=(2, 3))   # [2, nl, 2R]
+def _quant_w(w, reduce_axes):
+    """Per-out-channel int8 weight quantization: (wq, fp32 scales) with
+    max-abs over ``reduce_axes`` (the non-out axes)."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=reduce_axes)
     scale = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
-    wq = jnp.clip(jnp.round(kfg / scale[:, :, None, None, :]),
+    wq = jnp.clip(jnp.round(wf / jnp.expand_dims(scale, reduce_axes)),
                   -127.0, 127.0).astype(jnp.int8)
-    ops[2] = wq
-    ops.append(scale)
-    if cond:
-        cw = ops[_COND_W_IDX].astype(jnp.float32)   # [2, nl, Cc, 2R]
-        camax = jnp.max(jnp.abs(cw), axis=2)        # [2, nl, 2R]
-        cscale = jnp.maximum(camax, 1e-30) * (1.0 / 127.0)
-        cq = jnp.clip(jnp.round(cw / cscale[:, :, None, :]),
-                      -127.0, 127.0).astype(jnp.int8)
-        ops[_COND_W_IDX] = cq
-        ops.append(cscale)
-    return tuple(ops)
+    return wq, scale
+
+
+def pair_reverse_operands_int8(pair: dict, dtype=jnp.bfloat16):
+    """Operands for the full-int8 direct kernel: the fg convs, the
+    conditioning 1x1s, and the res/skip/final matmuls are quantized to
+    int8 with per-(flow, [layer,] out-channel) scales APPENDED (in that
+    order) after an_b.  The front and zero convs stay high-precision."""
+    ops = list(pair_reverse_operands(pair, dtype))
+    scales = []
+    # kfg [2, nl, 3, Cin, 2R] -> scales [2, nl, 2R]
+    ops[2], s = _quant_w(ops[2], (2, 3))
+    scales.append(s)
+    # cond_w [2, nl, Cc, 2R] -> [2, nl, 2R]
+    ops[_COND_W_IDX], s = _quant_w(ops[_COND_W_IDX], (2,))
+    scales.append(s)
+    # res_w [2, R, R] -> [2, R]
+    ops[5], s = _quant_w(ops[5], (1,))
+    scales.append(s)
+    # skip_w [2, nl, R, R] -> [2, nl, R]
+    ops[7], s = _quant_w(ops[7], (2,))
+    scales.append(s)
+    # fin_w [2, R, R] -> [2, R]
+    ops[9], s = _quant_w(ops[9], (1,))
+    scales.append(s)
+    return tuple(ops) + tuple(scales)
 
 
 def pair_reverse_operands_hoisted_int8(pair: dict, dtype=jnp.bfloat16):
-    """Hoisted-conditioning operands with int8 fg convs: like
-    pair_reverse_operands_hoisted but kfg is quantized (scale appended),
-    for _pair_kernel_hoisted_i8."""
+    """Hoisted-conditioning operands with int8 fg/res/skip/final (cond
+    matmuls run outside in bf16), for _pair_kernel_hoisted_i8."""
     ops, hoist = pair_reverse_operands_hoisted(pair, dtype)
     ops = list(ops)
-    kfg = ops[2].astype(jnp.float32)
-    amax = jnp.max(jnp.abs(kfg), axis=(2, 3))
-    scale = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
-    wq = jnp.clip(jnp.round(kfg / scale[:, :, None, None, :]),
-                  -127.0, 127.0).astype(jnp.int8)
-    ops[2] = wq
-    ops.append(scale)
-    return tuple(ops), hoist
+    scales = []
+    ops[2], s = _quant_w(ops[2], (2, 3))      # kfg
+    scales.append(s)
+    ops[4], s = _quant_w(ops[4], (1,))        # res_w (cond_w popped)
+    scales.append(s)
+    ops[6], s = _quant_w(ops[6], (2,))        # skip_w
+    scales.append(s)
+    ops[8], s = _quant_w(ops[8], (1,))        # fin_w
+    scales.append(s)
+    return tuple(ops) + tuple(scales), hoist
 
 
 def pair_reverse_operands_hoisted(pair: dict, dtype=jnp.bfloat16):
@@ -712,17 +741,10 @@ def fused_chain_reverse(u, v, c_a, c_b, operands, *, n_pair: int,
     cbt, cbh = _tiles_and_halos(c_b, t_tile, n_t, T_pad, halo)
     Cc = c_a.shape[-1]
 
-    # int8-cond operand tuples carry an int8 cond_w (at index 3 of the
-    # stacked operands) plus a trailing cond scale
-    int8_cond = int8 and operands[_COND_W_IDX].dtype == jnp.int8
     if hoisted:
         kern = _pair_kernel_hoisted_i8 if int8 else _pair_kernel_hoisted
-    elif int8_cond:
-        kern = _pair_kernel_i8c
-    elif int8:
-        kern = _pair_kernel_i8
     else:
-        kern = _pair_kernel
+        kern = _pair_kernel_i8 if int8 else _pair_kernel
     kernel = functools.partial(kern, t_tile=t_tile, n_t=n_t, T=T,
                                n_pair=n_pair)
     grid = (B * n_t,)

@@ -539,32 +539,6 @@ def test_fwd_kernel_model_loss_matches_xla(key, rng, monkeypatch):
                                    rtol=5e-4, atol=5e-4)
 
 
-def test_int8_cond_pair_kernel_close_to_xla(key, rng):
-    """int8 fg + int8 conditioning matmuls (FWN_INT8_COND): approximates
-    the XLA pair-scan within quantization tolerance."""
-    from flowavenet_tpu.ops.pallas_flow import pair_reverse_operands_int8
-    cfg = CFG
-    params = _randomized(key, cfg)
-    bp = params["blocks"][0]
-    T = 192
-    u = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
-    v = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
-    c_a = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
-    c_b = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
-    u_ref, v_ref = _xla_pair_reverse(bp, cfg, u, v, c_a, c_b)
-    pair = jax.tree.map(lambda l: l[0], fwn._pair_params(bp))
-    ops = pair_reverse_operands_int8(pair, dtype=jnp.float32, cond=True)
-    u_k, v_k = fused_pair_reverse(u, v, c_a, c_b, ops, t_tile=64,
-                                  interpret=True, int8=True)
-    for got, want in ((u_k, u_ref), (v_k, v_ref)):
-        got, want = np.asarray(got), np.asarray(want)
-        assert np.all(np.isfinite(got))
-        denom = max(1e-6, float(np.abs(want).max()))
-        rel = float(np.abs(got - want).max()) / denom
-        corr = float(np.corrcoef(got.ravel(), want.ravel())[0, 1])
-        assert rel < 0.08 and corr > 0.998, (rel, corr)
-
-
 def test_hoisted_int8_pair_kernel_close_to_xla(key, rng):
     """Hoisted conditioning + int8 fg convs (deep-block FWN_HOISTED +
     FWN_INT8 route)."""
