@@ -22,7 +22,7 @@ Measurement notes:
 Env knobs: BENCH_BATCH (128) | BENCH_SECONDS (4; trimmed to a 30-frame
 multiple so kernel tiles divide exactly) | BENCH_ITERS (5) |
 BENCH_CONFIG (lj22k) | BENCH_MELS (synthetic | speech | /path/to/mels_dir)
-| FWN_INT8=1 (experimental int8 fg convs, ~+8%% at corr 0.9987)
+| FWN_INT8=0 (opt out of the default int8 kernels back to bf16)
 
 BENCH_MELS modes: "synthetic" (default) conditions on uniform-random mels
 generated on device — the headline number, free of host-transfer effects;

@@ -355,6 +355,13 @@ def _pair_fwd_fused_f(interp, pair, u, v, c_a, c_b):
 
 
 def _pair_fwd_fused_b(interp, res, ct):
+    # Tie the XLA recompute to the ARRIVING cotangents: the recompute
+    # depends only on residuals (available right after the forward pass),
+    # so without this barrier XLA hoists every pair's recomputed
+    # activations ahead of the backward chain and OOMs at b128 (measured:
+    # 19.6G vs the 15.75G chip).  The barrier restores the scan+remat
+    # schedule: one pair's recompute lives at a time.
+    res, ct = jax.lax.optimization_barrier((res, ct))
     _, vjp = jax.vjp(_pair_fwd_ref, *res)
     return vjp(ct)
 

@@ -263,10 +263,11 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
     gated0 = _gated(fg0, r, dtype)
     # res and skip0 share the same input: one [R, 2R] dot (the weight
     # concat is loop-invariant and tiny)
-    if isinstance(res_w, tuple):          # int8 rs path: (wq, wscale)
-        rs_wq = jnp.concatenate([res_w[0], skip_w[0][0]], axis=-1)
-        rs_ws = jnp.concatenate([res_w[1], skip_w[1][0]], axis=-1)
-        rs = _dot_int8(gated0, rs_wq, rs_ws)
+    if isinstance(res_w, tuple):
+        # int8 rs path: res_w IS the pre-concatenated [R, 2R] res|skip0
+        # weight (int8 concat must happen OUTSIDE the kernel — Mosaic
+        # can't lower int8 lane-axis concats across lane tiles)
+        rs = _dot_int8(gated0, res_w[0], res_w[1])
     else:
         rs_w = jnp.concatenate([res_w, skip_w[0]], axis=-1)
         rs = jnp.dot(gated0, rs_w, preferred_element_type=acc)
@@ -291,7 +292,8 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
     sk0 = jax.lax.slice_in_dim(rs[:, r:], 3, 3 + out_len, axis=0)
     sk0 += skip_b[0].astype(acc)
     if isinstance(skip_w, tuple):
-        sk1 = _dot_int8(gated1, skip_w[0][1], skip_w[1][1])
+        # int8: skip_w carries layer 1 only (layer 0 rides res_w)
+        sk1 = _dot_int8(gated1, skip_w[0], skip_w[1])
     else:
         sk1 = jnp.dot(gated1, skip_w[1], preferred_element_type=acc)
     sk1 += skip_b[1].astype(acc)
@@ -555,11 +557,14 @@ def pair_reverse_operands_int8(pair: dict, dtype=jnp.bfloat16):
     # cond_w [2, nl, Cc, 2R] -> [2, nl, 2R]
     ops[_COND_W_IDX], s = _quant_w(ops[_COND_W_IDX], (2,))
     scales.append(s)
-    # res_w [2, R, R] -> [2, R]
-    ops[5], s = _quant_w(ops[5], (1,))
+    # res|skip0 pre-concatenated [2, R, 2R] -> [2, 2R] (the lane-axis
+    # concat must happen here: Mosaic can't lower int8 concats across
+    # lane tiles inside the kernel)
+    rsw = jnp.concatenate([ops[5], ops[7][:, 0]], axis=-1)
+    ops[5], s = _quant_w(rsw, (1,))
     scales.append(s)
-    # skip_w [2, nl, R, R] -> [2, nl, R]
-    ops[7], s = _quant_w(ops[7], (2,))
+    # skip layer 1 only [2, R, R] -> [2, R]
+    ops[7], s = _quant_w(ops[7][:, 1], (1,))
     scales.append(s)
     # fin_w [2, R, R] -> [2, R]
     ops[9], s = _quant_w(ops[9], (1,))
@@ -575,9 +580,10 @@ def pair_reverse_operands_hoisted_int8(pair: dict, dtype=jnp.bfloat16):
     scales = []
     ops[2], s = _quant_w(ops[2], (2, 3))      # kfg
     scales.append(s)
-    ops[4], s = _quant_w(ops[4], (1,))        # res_w (cond_w popped)
+    rsw = jnp.concatenate([ops[4], ops[6][:, 0]], axis=-1)  # res|skip0
+    ops[4], s = _quant_w(rsw, (1,))           # (cond_w popped)
     scales.append(s)
-    ops[6], s = _quant_w(ops[6], (2,))        # skip_w
+    ops[6], s = _quant_w(ops[6][:, 1], (1,))  # skip layer 1 only
     scales.append(s)
     ops[8], s = _quant_w(ops[8], (1,))        # fin_w
     scales.append(s)

@@ -41,6 +41,12 @@ def env_int(name: str, default: int, *, multiple_of: int = 1) -> int:
     return val
 
 
-# Single source of truth for the experimental int8 filter|gate conv mode
-# (read by both ops/pallas_flow.py and models/flowavenet.py routing).
-INT8 = env_flag("FWN_INT8")
+# Single source of truth for the int8 pair-kernel mode (read by both
+# ops/pallas_flow.py and models/flowavenet.py routing).  DEFAULT ON since
+# round 3: quality-gated on real-speech-trained weights — corr(int8, bf16
+# kernels) = 0.999925 (the bf16 kernels themselves measure 0.999963 vs
+# XLA), and the mel-spectrogram correlation of synthesized audio against
+# its conditioning is IDENTICAL (0.5774) across the XLA, bf16-kernel, and
+# int8-kernel routes (tools/int8_quality_gate.py, docs/benchmarks.md).
+# FWN_INT8=0 restores the quality-exact bf16 kernels.
+INT8 = env_flag("FWN_INT8", default=True)

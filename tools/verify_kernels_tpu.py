@@ -22,6 +22,13 @@ import numpy as np
 
 
 def main() -> None:
+    # This tool checks the Mosaic LOWERING against XLA, so it compares the
+    # quality-exact bf16 kernels by default even though production
+    # defaults to int8 (whose quantization noise on randomized weights
+    # sits below this tool's 0.999 bar by design — trained-weight int8
+    # quality is gated separately by tools/int8_quality_gate.py).
+    # FWN_INT8=1 in the environment still forces an int8 measurement.
+    os.environ.setdefault("FWN_INT8", "0")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_comp"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
