@@ -196,13 +196,15 @@ def train(cfg: Config, data_dir: str, logdir: str, *, restore: bool = True,
 
             if probe_synthesis and step % eval_interval == 0 \
                     and jax.process_index() == 0:
-                _synthesis_probe(state, cfg, data_dir, writer, step)
+                _synthesis_probe(state, cfg, data_dir, writer, step,
+                                 tb=tb)
     print()
     return save_dir
 
 
 def _synthesis_probe(state: TrainState, cfg: Config, data_dir: str,
-                     writer: MetricsWriter, step: int) -> None:
+                     writer: MetricsWriter, step: int,
+                     tb=None) -> None:
     """In-training synthesis of a random test utterance (train.py:118-150).
     Unlike the reference, the sample is re-drawn every eval.  Goes through
     ``synthesize_mels`` so clip lengths are bucketed and the jitted reverse
@@ -231,6 +233,10 @@ def _synthesis_probe(state: TrainState, cfg: Config, data_dir: str,
                            speaker_ids=sids)
     writer.wav(step, "prediction", wavs[0], cfg.audio.sample_rate)
     writer.wav(step, "target", audio[: len(wavs[0])], cfg.audio.sample_rate)
+    if tb is not None:  # TB audio summaries (reference train.py:142-150)
+        tb.wav(step, "eval/prediction", wavs[0], cfg.audio.sample_rate)
+        tb.wav(step, "eval/target", audio[: len(wavs[0])],
+               cfg.audio.sample_rate)
 
 
 def main(argv=None):
