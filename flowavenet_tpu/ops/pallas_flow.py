@@ -97,14 +97,6 @@ def _quant_act(x):
     return q, scale
 
 
-def _dot_int8(x, wq, wscale):
-    """x @ w on the int8 MXU: activations quantized per call, weights
-    pre-quantized with per-out-channel scales.  Returns ACC_DTYPE."""
-    q, s = _quant_act(x)
-    o = jnp.dot(q, wq, preferred_element_type=jnp.int32)
-    return (o.astype(jnp.float32) * (s * wscale)[None, :]).astype(ACC_DTYPE)
-
-
 def _conv3_int8(buf, wq, wscale, *, off: int, length: int,
                 dilation: int):
     """3-tap dilated conv on the int8 MXU path: buf (bf16) is quantized
@@ -263,14 +255,8 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
     gated0 = _gated(fg0, r, dtype)
     # res and skip0 share the same input: one [R, 2R] dot (the weight
     # concat is loop-invariant and tiny)
-    if isinstance(res_w, tuple):
-        # int8 rs path: res_w IS the pre-concatenated [R, 2R] res|skip0
-        # weight (int8 concat must happen OUTSIDE the kernel — Mosaic
-        # can't lower int8 lane-axis concats across lane tiles)
-        rs = _dot_int8(gated0, res_w[0], res_w[1])
-    else:
-        rs_w = jnp.concatenate([res_w, skip_w[0]], axis=-1)
-        rs = jnp.dot(gated0, rs_w, preferred_element_type=acc)
+    rs_w = jnp.concatenate([res_w, skip_w[0]], axis=-1)
+    rs = jnp.dot(gated0, rs_w, preferred_element_type=acc)
     res0 = rs[:, :r] + res_b.astype(acc)
     h0_mid = jax.lax.slice_in_dim(h0, 1, 1 + l_g0, axis=0)
     h1 = ((h0_mid.astype(acc) + res0) * SQRT_HALF).astype(dtype)
@@ -291,18 +277,11 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
 
     sk0 = jax.lax.slice_in_dim(rs[:, r:], 3, 3 + out_len, axis=0)
     sk0 += skip_b[0].astype(acc)
-    if isinstance(skip_w, tuple):
-        # int8: skip_w carries layer 1 only (layer 0 rides res_w)
-        sk1 = _dot_int8(gated1, skip_w[0], skip_w[1])
-    else:
-        sk1 = jnp.dot(gated1, skip_w[1], preferred_element_type=acc)
+    sk1 = jnp.dot(gated1, skip_w[1], preferred_element_type=acc)
     sk1 += skip_b[1].astype(acc)
 
     out = jnp.maximum(sk0 + sk1, 0.0).astype(dtype)
-    if isinstance(fin_w, tuple):
-        out = _dot_int8(out, fin_w[0], fin_w[1])
-    else:
-        out = jnp.dot(out, fin_w, preferred_element_type=acc)
+    out = jnp.dot(out, fin_w, preferred_element_type=acc)
     out = jnp.maximum(out + fin_b.astype(acc), 0.0).astype(dtype)
     # zero conv with exp(3*scale) folded into zw/zb; fp32 for the
     # downstream affine exp/update regardless of ACC_DTYPE
@@ -418,18 +397,19 @@ def _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref, cbt_ref,
 def _pair_kernel_i8(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
                     cbt_ref, cbh_ref, front_w, front_b, kfg, cond_w,
                     cond_b, res_w, res_b, skip_w, skip_b, fin_w, fin_b,
-                    zw, zb, an_s, an_b, kfg_scale, cond_scale, res_scale,
-                    skip_scale, fin_scale, u_out, v_out,
-                    *, t_tile: int, n_t: int, T: int, n_pair: int = 1):
-    """Full-int8 variant: the fg convs, conditioning 1x1s, and the
-    res/skip/final matmuls all run on the int8 MXU (weights pre-quantized
-    with per-out-channel scales; activations quantized per call).  Only
-    the tiny front conv and the zero conv stay bf16/fp32 — the zero
-    conv's output IS log_s/t and wants full precision."""
+                    zw, zb, an_s, an_b, kfg_scale, cond_scale, u_out,
+                    v_out, *, t_tile: int, n_t: int, T: int,
+                    n_pair: int = 1):
+    """int8 variant: the fg convs AND the conditioning 1x1s run on the
+    int8 MXU (weights pre-quantized with per-out-channel scales;
+    activations quantized per call).  The res/skip/final matmuls stay
+    bf16 — quantizing them was MEASURED SLOWER end to end (b128 x 3.83 s:
+    1158 vs 1049 ms; three extra activation-quantization passes per net
+    cost more than halving those small-K matmuls saves)."""
     _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
                  cbt_ref, cbh_ref, front_w, front_b, (kfg, kfg_scale),
-                 (cond_w, cond_scale), cond_b, (res_w, res_scale), res_b,
-                 (skip_w, skip_scale), skip_b, (fin_w, fin_scale),
+                 (cond_w, cond_scale), cond_b, res_w, res_b,
+                 skip_w, skip_b, fin_w,
                  fin_b, zw, zb, an_s, an_b, u_out, v_out,
                  t_tile=t_tile, n_t=n_t, T=T, n_pair=n_pair)
 
@@ -438,16 +418,14 @@ def _pair_kernel_hoisted_i8(ut_ref, uh_ref, vt_ref, vh_ref, cet_ref,
                             ceh_ref, cot_ref, coh_ref, front_w, front_b,
                             kfg, cond_b, res_w, res_b, skip_w, skip_b,
                             fin_w, fin_b, zw, zb, an_s, an_b, kfg_scale,
-                            res_scale, skip_scale, fin_scale,
                             u_out, v_out, *, t_tile: int, n_t: int,
                             T: int, n_pair: int = 1):
-    """Hoisted conditioning + int8 (deep blocks: the huge cond matmuls
-    run OUTSIDE as big-K XLA dots, the fused pair runs fg/res/skip/final
-    on the int8 MXU)."""
+    """Hoisted conditioning + int8 fg convs (deep blocks: the huge cond
+    matmuls run OUTSIDE as big-K XLA dots, the fused pair runs fg on the
+    int8 MXU)."""
     _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cet_ref, ceh_ref,
                  cot_ref, coh_ref, front_w, front_b, (kfg, kfg_scale),
-                 None, cond_b, (res_w, res_scale), res_b,
-                 (skip_w, skip_scale), skip_b, (fin_w, fin_scale),
+                 None, cond_b, res_w, res_b, skip_w, skip_b, fin_w,
                  fin_b, zw, zb, an_s, an_b, u_out, v_out,
                  t_tile=t_tile, n_t=n_t, T=T, n_pair=n_pair)
 
@@ -557,18 +535,6 @@ def pair_reverse_operands_int8(pair: dict, dtype=jnp.bfloat16):
     # cond_w [2, nl, Cc, 2R] -> [2, nl, 2R]
     ops[_COND_W_IDX], s = _quant_w(ops[_COND_W_IDX], (2,))
     scales.append(s)
-    # res|skip0 pre-concatenated [2, R, 2R] -> [2, 2R] (the lane-axis
-    # concat must happen here: Mosaic can't lower int8 concats across
-    # lane tiles inside the kernel)
-    rsw = jnp.concatenate([ops[5], ops[7][:, 0]], axis=-1)
-    ops[5], s = _quant_w(rsw, (1,))
-    scales.append(s)
-    # skip layer 1 only [2, R, R] -> [2, R]
-    ops[7], s = _quant_w(ops[7][:, 1], (1,))
-    scales.append(s)
-    # fin_w [2, R, R] -> [2, R]
-    ops[9], s = _quant_w(ops[9], (1,))
-    scales.append(s)
     return tuple(ops) + tuple(scales)
 
 
@@ -577,17 +543,8 @@ def pair_reverse_operands_hoisted_int8(pair: dict, dtype=jnp.bfloat16):
     matmuls run outside in bf16), for _pair_kernel_hoisted_i8."""
     ops, hoist = pair_reverse_operands_hoisted(pair, dtype)
     ops = list(ops)
-    scales = []
     ops[2], s = _quant_w(ops[2], (2, 3))      # kfg
-    scales.append(s)
-    rsw = jnp.concatenate([ops[4], ops[6][:, 0]], axis=-1)  # res|skip0
-    ops[4], s = _quant_w(rsw, (1,))           # (cond_w popped)
-    scales.append(s)
-    ops[6], s = _quant_w(ops[6][:, 1], (1,))  # skip layer 1 only
-    scales.append(s)
-    ops[8], s = _quant_w(ops[8], (1,))        # fin_w
-    scales.append(s)
-    return tuple(ops) + tuple(scales), hoist
+    return tuple(ops) + (s,), hoist
 
 
 def pair_reverse_operands_hoisted(pair: dict, dtype=jnp.bfloat16):

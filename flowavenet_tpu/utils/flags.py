@@ -44,7 +44,7 @@ def env_int(name: str, default: int, *, multiple_of: int = 1) -> int:
 # Single source of truth for the int8 pair-kernel mode (read by both
 # ops/pallas_flow.py and models/flowavenet.py routing).  DEFAULT ON since
 # round 3: quality-gated on real-speech-trained weights — corr(int8, bf16
-# kernels) = 0.999925 (the bf16 kernels themselves measure 0.999963 vs
+# kernels) = 0.999962 (the bf16 kernels themselves measure 0.999963 vs
 # XLA), and the mel-spectrogram correlation of synthesized audio against
 # its conditioning is IDENTICAL (0.5774) across the XLA, bf16-kernel, and
 # int8-kernel routes (tools/int8_quality_gate.py, docs/benchmarks.md).
