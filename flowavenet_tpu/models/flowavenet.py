@@ -599,6 +599,15 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
         else:
             assert not isinstance(c_a, tuple), \
                 "pre-tiled cond requires a wino kernel route"
+            if PAIR_KERNEL_INT8 and _pair_kernel_eligible(cfg, has_g):
+                # Deep blocks (cond too wide for VMEM-resident kernels):
+                # the conditioning 1x1s are ~all of the block's FLOPs
+                # (K = Cc/2 up to 10240 with constant per-block cost —
+                # docs/benchmarks.md), so run THEM on the int8 MXU inside
+                # the XLA pair-scan.  Activations quantize once per block
+                # (scan constants); weights per-out-channel per flow.
+                from ..ops.conv import quantize_act
+                c_a, c_b = quantize_act(c_a), quantize_act(c_b)
             # (measured: unroll=True is time-neutral here but adds ~45 s
             # of compile — the scan stays)
             (u, v), _ = jax.lax.scan(

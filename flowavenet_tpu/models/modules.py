@@ -36,8 +36,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv import (conv1x1, dilated_conv1d, init_wn_conv1d,
-                        init_zero_conv1d, wn_conv1d, wn_kernel, zero_conv1d)
+from ..ops.conv import (conv1x1, conv1x1_int8, dilated_conv1d,
+                        init_wn_conv1d, init_zero_conv1d, wn_conv1d,
+                        wn_kernel, zero_conv1d)
 
 SQRT_HALF = math.sqrt(0.5)
 
@@ -80,11 +81,21 @@ def _fused_fg_kernel(pf: dict, pg: dict) -> tuple[jax.Array, jax.Array]:
     return k, b
 
 
-def _cond_fg(c: jax.Array, g: Optional[jax.Array], layer: dict,
-             conv_bias: jax.Array) -> jax.Array:
+def _cond_fg(c, g: Optional[jax.Array], layer: dict,
+             conv_bias: jax.Array, out_dtype=None) -> jax.Array:
     """Conditioning pre-activations + the dilated conv's bias, fused into
-    one [B, T, 2R] tensor added before the gate."""
+    one [B, T, 2R] tensor added before the gate.
+
+    ``c`` may be a pre-quantized ``(q_int8, fp32_scale)`` pair (see
+    ops/conv.py quantize_act): the 1x1 then runs on the int8 MXU — the
+    deep blocks' synthesis route under FWN_INT8, where this matmul's
+    K = Cc/2 reaches 10240 and dominates the block (docs/benchmarks.md)."""
     kc, bc = _fused_fg_kernel(layer["filter_c"], layer["gate_c"])
+    if isinstance(c, tuple):
+        assert g is None, "int8 cond path has no global-conditioning route"
+        c_q, c_scale = c
+        return conv1x1_int8(c_q, c_scale, kc,
+                            bc + conv_bias.astype(bc.dtype), out_dtype)
     fg = conv1x1(c, kc, bc + conv_bias.astype(bc.dtype))
     if g is not None and "filter_g" in layer:
         kg, bg = _fused_fg_kernel(layer["filter_g"], layer["gate_g"])
@@ -110,6 +121,8 @@ def _res_layer(h: jax.Array, c: jax.Array, g: Optional[jax.Array],
     k, b = _fused_fg_kernel(layer["filter"], layer["gate"])
 
     if use_pallas and need_residual:
+        assert not isinstance(c, tuple), \
+            "pre-quantized cond is an XLA-route contract (use_pallas=False)"
         from ..ops.pallas_resblock import (V2_MAX_CC, fused_gated_resblock,
                                            fused_gated_resblock_v2)
 
@@ -129,7 +142,7 @@ def _res_layer(h: jax.Array, c: jax.Array, g: Optional[jax.Array],
             dilation=dilation, causal=causal)
 
     fg = dilated_conv1d(h, k, b, dilation=dilation, causal=causal)
-    fg = fg + _cond_fg(c, g, layer, jnp.zeros_like(b))
+    fg = fg + _cond_fg(c, g, layer, jnp.zeros_like(b), out_dtype=h.dtype)
 
     h_f, h_g = fg[..., :r], fg[..., r:]
     out = jnp.tanh(h_f) * jax.nn.sigmoid(h_g)

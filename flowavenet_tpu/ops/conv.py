@@ -194,6 +194,40 @@ def wn_conv1x1(x: jax.Array, p: dict) -> jax.Array:
     return conv1x1(x, wn_kernel(p), p["b"])
 
 
+def quantize_act(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-tensor max-abs int8 activation quantization: (q, fp32 scale).
+
+    Mirrors the Pallas kernels' in-VMEM activation quantization
+    (ops/pallas_flow.py _quant_act) so the XLA int8 route below has the
+    same numeric contract as the fused-kernel int8 route."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-30) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(xf / scale), -127.0, 127.0).astype(jnp.int8)
+    return q, scale
+
+
+def conv1x1_int8(x_q: jax.Array, x_scale: jax.Array, kernel: jax.Array,
+                 bias: Optional[jax.Array], out_dtype) -> jax.Array:
+    """1x1 conv on the int8 MXU path (2x bf16 peak on v5e).
+
+    ``x_q``/``x_scale`` come from :func:`quantize_act`; ``kernel``
+    ``[1, Cin, Cout]`` or ``[Cin, Cout]`` fp32 is quantized here with
+    per-out-channel max-abs scales; the s8 x s8 -> s32 einsum lowers to a
+    native int8 MXU matmul under XLA:TPU."""
+    w = (kernel[0] if kernel.ndim == 3 else kernel).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=0)
+    w_scale = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
+    w_q = jnp.clip(jnp.round(w / w_scale[None, :]), -127.0, 127.0
+                   ).astype(jnp.int8)
+    acc = jnp.einsum("btc,cd->btd", x_q, w_q,
+                     preferred_element_type=jnp.int32)
+    out = (acc.astype(jnp.float32)
+           * (x_scale * w_scale)[None, None, :]).astype(out_dtype)
+    if bias is not None:
+        out = out + bias.astype(out_dtype)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # ZeroConv1d (modules.py:39-59): zero-init 1x1 conv, no weight norm, output
 # scaled by exp(3*scale) with zero-init per-channel scale — the Glow-style

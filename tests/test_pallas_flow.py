@@ -594,6 +594,26 @@ def test_int8_model_routing_matches_xla(key, rng, monkeypatch):
     _corr_close(fast, base)
 
 
+def test_deep_block_int8_cond_matches_xla(key, rng, monkeypatch):
+    """Deep-block route (no kernel eligible -> XLA pair-scan) with the
+    int8 conditioning matmuls (models/flowavenet.py block_reverse /
+    modules.py _cond_fg int8 path): close to the fp32 XLA path."""
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_CPU_INTERPRET", True)
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_INT8", True)
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_HOISTED", False)
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_MAX_CC", 0)
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_WINO", False)
+    cfg_off = dataclasses.replace(CFG, use_pallas=False)
+    cfg_on = dataclasses.replace(CFG, use_pallas=True)
+    params = _randomized(key, cfg_off)
+    z = jnp.asarray(rng.randn(2, 8192, 1), jnp.float32)
+    mel = jnp.asarray(rng.rand(2, 8192 // cfg_off.hop_size,
+                               cfg_off.num_mels), jnp.float32)
+    base = reverse(params, cfg_off, z, mel)
+    fast = reverse(params, cfg_on, z, mel)
+    _corr_close(fast, base, corr_min=0.999, rel_max=0.05)
+
+
 def test_hoisted_int8_model_routing_matches_xla(key, rng, monkeypatch):
     """Full tiny model forced onto the hoisted+int8 deep-block route
     (FWN_HOISTED + FWN_INT8)."""
