@@ -57,6 +57,7 @@ SQRT_HALF = 0.7071067811865476
 # ms — the exp-based tanh/sigmoid workaround for the Mosaic bf16
 # vector.broadcast bug costs more than the narrower VPU lanes save).
 # FWN_GATE_BF16=1 keeps the probe available.
+from ..utils.flags import INT8 as _INT8
 from ..utils.flags import env_flag as _env_flag, env_int as _env_int
 
 GATE_DTYPE = jnp.bfloat16 if _env_flag("FWN_GATE_BF16") else jnp.float32
@@ -75,16 +76,26 @@ _GRID_ARBITRARY = _env_flag("FWN_GRID_ARBITRARY")
 # Time-tile for the direct (non-Winograd) pair kernels.  1024 was the
 # bf16 sweep winner (1536/2048 lose/exceed VMEM); int8 weights halve the
 # resident footprint and 1536 WINS there (b128 x 3.83 s: 1049.5 vs
-# 1064.3 ms), so the default follows the mode.  FWN_DIRECT_TT overrides.
-DIRECT_T_TILE = _env_int("FWN_DIRECT_TT",
-                         1536 if _env_flag("FWN_INT8") else 1024,
+# 1064.3 ms), so the default follows the mode (the shared INT8 flag —
+# NOT a second env read, which once defaulted the int8 route to 1024).
+# FWN_DIRECT_TT overrides.
+DIRECT_T_TILE = _env_int("FWN_DIRECT_TT", 1536 if _INT8 else 1024,
                          multiple_of=16)
 
-# int8 mode quantizes the fg convs, the conditioning 1x1 matmuls (the
+# int8 mode quantizes the fg convs and the conditioning 1x1 matmuls (the
 # direct kernel's second-largest MXU consumer — Cc/2 reaches 640 at
-# block 3), and the res/skip/final matmuls; only the tiny front conv and
-# the zero conv (whose output IS log_s/t) stay high-precision.  Quality-
-# gated on trained weights: tools/int8_quality_gate.py.
+# block 3).  The front conv, the final 1x1, and the zero conv (whose
+# output IS log_s/t) stay high-precision.  Quality-gated on trained
+# weights: tools/int8_quality_gate.py.
+#
+# FWN_INT8_RS=1 additionally runs the res/skip matmuls on int8 via
+# FIXED-scale gate quantization (_gated_q8 — no max-abs pass, unlike the
+# round-3 full-int8 variant that measured 1158 ms).  MEASURED NEUTRAL-to-
+# SLIGHTLY-SLOWER (b128 x 3.83 s: 989.9 vs 983.6 ms): those K=256
+# matmuls are pipeline-bound, not MXU-bound, so halving their MXU time
+# buys nothing and the dequant multiply adds VPU work.  Default OFF;
+# quality-gated anyway (corr 0.999953 vs bf16 on trained weights).
+INT8_RS = _env_flag("FWN_INT8_RS", default=False)
 
 
 def _quant_act(x):
@@ -183,6 +194,19 @@ def _gated(fg, r: int, dtype):
     return (th * sg).astype(dtype)
 
 
+def _gated_q8(fg, r: int):
+    """tanh(f)*sigmoid(g) quantized to int8 with the FIXED scale 1/127.
+
+    |tanh*sigmoid| < 1 analytically, so — unlike every other int8
+    activation here — NO max-abs reduction pass is needed: the
+    round+cast replaces the bf16 cast the fp32 gates pay anyway.  This
+    is what makes int8 res/skip matmuls pay (the per-call max-abs
+    variant was measured SLOWER end to end, docs/benchmarks.md)."""
+    fg = fg.astype(jnp.float32)
+    out = jnp.tanh(fg[:, :r]) * jax.nn.sigmoid(fg[:, r:])
+    return jnp.round(out * 127.0).astype(jnp.int8)
+
+
 def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
                   row0, T: int,
                   front_w, front_b, kfg, cond_w, cond_b, res_w, res_b,
@@ -252,11 +276,26 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
             fg0 += jnp.dot(c0, cond_w[0], preferred_element_type=acc)
     fg0 += cond_b[0].astype(acc)
     r = fg0.shape[-1] // 2
-    gated0 = _gated(fg0, r, dtype)
     # res and skip0 share the same input: one [R, 2R] dot (the weight
     # concat is loop-invariant and tiny)
-    rs_w = jnp.concatenate([res_w, skip_w[0]], axis=-1)
-    rs = jnp.dot(gated0, rs_w, preferred_element_type=acc)
+    if isinstance(res_w, tuple):
+        # int8 res/skip: gate output quantized with the FIXED 1/127
+        # scale (see _gated_q8), weights pre-quantized per-out-channel
+        res_wq, res_ws = res_w
+        skip_wq, skip_ws = skip_w
+        rs_wq = jnp.concatenate([res_wq, skip_wq[0]], axis=-1)
+        # scales concat as 2-D rows: Mosaic can't lower a 1-D vector
+        # concat ("input offsets outside the first tile")
+        rs_s = jnp.concatenate([res_ws.reshape(1, -1),
+                                skip_ws[0].reshape(1, -1)],
+                               axis=-1) * (1.0 / 127.0)
+        g0q = _gated_q8(fg0, r)
+        rs = (jnp.dot(g0q, rs_wq, preferred_element_type=jnp.int32)
+              .astype(jnp.float32) * rs_s).astype(acc)
+    else:
+        gated0 = _gated(fg0, r, dtype)
+        rs_w = jnp.concatenate([res_w, skip_w[0]], axis=-1)
+        rs = jnp.dot(gated0, rs_w, preferred_element_type=acc)
     res0 = rs[:, :r] + res_b.astype(acc)
     h0_mid = jax.lax.slice_in_dim(h0, 1, 1 + l_g0, axis=0)
     h1 = ((h0_mid.astype(acc) + res0) * SQRT_HALF).astype(dtype)
@@ -273,11 +312,16 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
         else:
             fg1 += jnp.dot(c1, cond_w[1], preferred_element_type=acc)
     fg1 += cond_b[1].astype(acc)
-    gated1 = _gated(fg1, r, dtype)
-
     sk0 = jax.lax.slice_in_dim(rs[:, r:], 3, 3 + out_len, axis=0)
     sk0 += skip_b[0].astype(acc)
-    sk1 = jnp.dot(gated1, skip_w[1], preferred_element_type=acc)
+    if isinstance(skip_w, tuple):
+        g1q = _gated_q8(fg1, r)
+        sk1 = (jnp.dot(g1q, skip_wq[1], preferred_element_type=jnp.int32)
+               .astype(jnp.float32)
+               * (skip_ws[1] * (1.0 / 127.0))[None, :]).astype(acc)
+    else:
+        gated1 = _gated(fg1, r, dtype)
+        sk1 = jnp.dot(gated1, skip_w[1], preferred_element_type=acc)
     sk1 += skip_b[1].astype(acc)
 
     out = jnp.maximum(sk0 + sk1, 0.0).astype(dtype)
@@ -403,13 +447,32 @@ def _pair_kernel_i8(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
     """int8 variant: the fg convs AND the conditioning 1x1s run on the
     int8 MXU (weights pre-quantized with per-out-channel scales;
     activations quantized per call).  The res/skip/final matmuls stay
-    bf16 — quantizing them was MEASURED SLOWER end to end (b128 x 3.83 s:
-    1158 vs 1049 ms; three extra activation-quantization passes per net
-    cost more than halving those small-K matmuls saves)."""
+    bf16 — the MAX-ABS-quantized version of them measured slower end to
+    end (b128 x 3.83 s: 1158 vs 1049 ms); see _pair_kernel_i8rs for the
+    fixed-scale variant that does pay."""
     _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
                  cbt_ref, cbh_ref, front_w, front_b, (kfg, kfg_scale),
                  (cond_w, cond_scale), cond_b, res_w, res_b,
                  skip_w, skip_b, fin_w,
+                 fin_b, zw, zb, an_s, an_b, u_out, v_out,
+                 t_tile=t_tile, n_t=n_t, T=T, n_pair=n_pair)
+
+
+def _pair_kernel_i8rs(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
+                      cbt_ref, cbh_ref, front_w, front_b, kfg, cond_w,
+                      cond_b, res_w, res_b, skip_w, skip_b, fin_w, fin_b,
+                      zw, zb, an_s, an_b, kfg_scale, cond_scale,
+                      res_scale, skip_scale, u_out, v_out, *, t_tile: int,
+                      n_t: int, T: int, n_pair: int = 1):
+    """int8 fg convs + cond 1x1s + res/skip matmuls (INT8_RS, default):
+    the res/skip activations are the gate outputs, quantized with the
+    FIXED 1/127 scale (_gated_q8 — |tanh*sigmoid| < 1), so unlike the
+    rejected max-abs full-int8 variant there is NO extra reduction pass.
+    The final 1x1 stays bf16 (its relu-sum input is unbounded)."""
+    _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
+                 cbt_ref, cbh_ref, front_w, front_b, (kfg, kfg_scale),
+                 (cond_w, cond_scale), cond_b, (res_w, res_scale), res_b,
+                 (skip_w, skip_scale), skip_b, fin_w,
                  fin_b, zw, zb, an_s, an_b, u_out, v_out,
                  t_tile=t_tile, n_t=n_t, T=T, n_pair=n_pair)
 
@@ -523,10 +586,15 @@ def _quant_w(w, reduce_axes):
 
 
 def pair_reverse_operands_int8(pair: dict, dtype=jnp.bfloat16):
-    """Operands for the full-int8 direct kernel: the fg convs, the
-    conditioning 1x1s, and the res/skip/final matmuls are quantized to
-    int8 with per-(flow, [layer,] out-channel) scales APPENDED (in that
-    order) after an_b.  The front and zero convs stay high-precision."""
+    """Operands for the int8 direct kernel: the fg convs, the
+    conditioning 1x1s, and (with INT8_RS, the default) the res/skip
+    matmuls are quantized to int8 with per-(flow, [layer,] out-channel)
+    scales APPENDED (in that order) after an_b.  The res/skip activations
+    are the gate outputs, quantized in-kernel with the FIXED 1/127 scale
+    (_gated_q8) — no extra reduction pass, which is why this pays where
+    the max-abs full-int8 variant measured slower.  The front conv, the
+    final 1x1 (its input is an unbounded relu sum), and the zero conv
+    (whose output IS log_s/t) stay high-precision."""
     ops = list(pair_reverse_operands(pair, dtype))
     scales = []
     # kfg [2, nl, 3, Cin, 2R] -> scales [2, nl, 2R]
@@ -535,6 +603,12 @@ def pair_reverse_operands_int8(pair: dict, dtype=jnp.bfloat16):
     # cond_w [2, nl, Cc, 2R] -> [2, nl, 2R]
     ops[_COND_W_IDX], s = _quant_w(ops[_COND_W_IDX], (2,))
     scales.append(s)
+    if INT8_RS:
+        # res_w [2, R, R] -> [2, R]; skip_w [2, nl, R, R] -> [2, nl, R]
+        ops[5], s = _quant_w(ops[5], (1,))
+        scales.append(s)
+        ops[7], s = _quant_w(ops[7], (2,))
+        scales.append(s)
     return tuple(ops) + tuple(scales)
 
 
@@ -706,8 +780,12 @@ def fused_chain_reverse(u, v, c_a, c_b, operands, *, n_pair: int,
 
     if hoisted:
         kern = _pair_kernel_hoisted_i8 if int8 else _pair_kernel_hoisted
+    elif int8:
+        # 19 operands = fg/cond/res/skip scales appended (INT8_RS),
+        # 17 = fg/cond only (FWN_INT8_RS=0)
+        kern = _pair_kernel_i8rs if len(operands) == 19 else _pair_kernel_i8
     else:
-        kern = _pair_kernel_i8 if int8 else _pair_kernel
+        kern = _pair_kernel
     kernel = functools.partial(kern, t_tile=t_tile, n_t=n_t, T=T,
                                n_pair=n_pair)
     grid = (B * n_t,)

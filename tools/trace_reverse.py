@@ -68,7 +68,10 @@ def main() -> None:
     with gzip.open(files[-1], "rt") as f:
         trace = json.load(f)
 
-    # Sum device-thread event durations by op name prefix.
+    # Sum device-thread event durations by op name prefix.  Events carry
+    # either an ``hlo_op`` arg (plain XLA ops) or a ``jit_synth/...`` path
+    # name (Pallas/Mosaic kernel spans) — prefer the most specific label so
+    # kernel launches don't all collapse into one "jit_synth" bucket.
     by_op: dict[str, float] = defaultdict(float)
     total = 0.0
     for ev in trace.get("traceEvents", []):
@@ -78,12 +81,19 @@ def main() -> None:
         args = ev.get("args") or {}
         # keep only device lanes (XLA Ops / TensorCore), skip host threads
         if "run_id" in args or "hlo_op" in args or name.startswith(
-                ("fusion", "custom-call", "dot", "convolution", "copy",
-                 "dynamic", "scan", "while", "all-", "rng", "transpose",
-                 "reduce", "concatenate", "pad", "slice", "broadcast",
-                 "reshape", "select", "bitcast", "multiply", "add")):
-            key = name.split(".")[0].split("(")[0][:48]
-            by_op[key] += ev["dur"] / 1e3  # us -> ms
+                ("jit_synth", "fusion", "custom-call", "dot", "convolution",
+                 "copy", "dynamic", "scan", "while", "all-", "rng",
+                 "transpose", "reduce", "concatenate", "pad", "slice",
+                 "broadcast", "reshape", "select", "bitcast", "multiply",
+                 "add")):
+            key = str(args.get("hlo_op") or name)
+            key = key.split("/")[-1]           # tail of a span path
+            key = key.split("(")[0]
+            # strip trailing .<instance number> but keep dotted kernel names
+            head, _, tail = key.rpartition(".")
+            if head and tail.isdigit():
+                key = head
+            by_op[key[:64]] += ev["dur"] / 1e3  # us -> ms
             total += ev["dur"] / 1e3
     print(f"# trace: {files[-1]}")
     print(f"# total device op time: {total:.1f} ms")
