@@ -33,8 +33,8 @@ import jax.numpy as jnp
 from ..config import ModelConfig
 from ..utils.flags import INT8 as _INT8_FLAG, env_flag as _env_flag
 from ..utils.flags import env_int as _env_int
-from ..ops.squeeze import (change_order, squeeze, squeeze_to_level,
-                           unsqueeze)
+from ..ops.squeeze import (change_order, squeeze, squeeze_level_cond_perm,
+                           squeeze_to_level, unsqueeze)
 from .modules import apply_wavenet, init_wavenet
 from .upsample import apply_upsample, init_upsample
 
@@ -380,6 +380,24 @@ _pair_fwd_fused.defvjp(_pair_fwd_fused_f, _pair_fwd_fused_b)
 PAIR_KERNEL_CHAIN = _env_flag("FWN_CHAIN", default=False)
 
 
+def _permute_cond_rows(flows: dict, perm) -> dict:
+    """Permute the conditioning convs' INPUT rows (weight-norm ``v``; the
+    L2 norm is a sum over those rows, so the fold is unchanged).
+
+    Used with ops/squeeze.py squeeze_level_cond_perm: the caller feeds the
+    couplings the FREE reshape view of the upsampled mel instead of the
+    squeeze_to_level copy, and this permutation makes the 1x1 cond matmuls
+    numerically equivalent (same products, reordered sum)."""
+    coup = flows["coupling"]
+    layers = []
+    for layer in coup["layers"]:
+        layer = dict(layer)
+        for kk in ("filter_c", "gate_c"):
+            layer[kk] = {**layer[kk], "v": layer[kk]["v"][..., perm, :]}
+        layers.append(layer)
+    return {**flows, "coupling": {**coup, "layers": layers}}
+
+
 def _pair_kernel_eligible(cfg: ModelConfig, has_g: bool) -> bool:
     """Base eligibility for the fused pair-flow reverse kernels
     (ops/pallas_flow.py): affine, non-causal, n_layer == 2, no global
@@ -493,7 +511,7 @@ def _flow_step_rev(cfg: ModelConfig, has_g: bool, use_pallas: bool = False):
 
 def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
                   unsqueeze_cond: bool = True, c_halves=None,
-                  g_halves=None):
+                  g_halves=None, cond_perm=None):
     """Inverse of block_forward on already-squeezed tensors; unsqueezes at
     the end (model.py:249-277).
 
@@ -505,7 +523,14 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
     ``c_halves=(c_a, c_b)`` supplies the coupling halves pre-split (the
     half split commutes with squeezing: half A at EVERY level is exactly
     the lower num_mels/2 mel bins, so ``reverse`` splits the upsampled mel
-    once instead of copying per level); mutually exclusive with ``c``."""
+    once instead of copying per level); mutually exclusive with ``c``.
+
+    ``cond_perm``: the c halves are FREE reshape views (not
+    squeeze_to_level copies) and the cond weight rows must be permuted by
+    this index array to compensate (see squeeze_level_cond_perm)."""
+    if cond_perm is not None:
+        assert c_halves is not None, "cond_perm implies pre-split c_halves"
+        p = {**p, "flows": _permute_cond_rows(p["flows"], cond_perm)}
     if c_halves is not None:
         assert c is None and not unsqueeze_cond, \
             "c_halves replaces c and implies unsqueeze_cond=False"
@@ -792,6 +817,7 @@ def reverse(params: dict, cfg: ModelConfig, z: jax.Array, c: jax.Array,
             cc_half = (cfg.num_mels << k) // 2
             mode = (_pair_kernel_mode(cfg, cc_half, g_emb is not None)
                     if cfg.n_flow % 2 == 0 else None)
+            cond_perm = None
             if mode in ("wino", "wino4"):
                 # build the kernels' plane tiles DIRECTLY from the mel
                 # halves: one transpose fuses the level extraction and
@@ -802,6 +828,20 @@ def reverse(params: dict, cfg: ModelConfig, z: jax.Array, c: jax.Array,
                 nb = _pack_factor(z.shape[0])
                 c_halves = (pf.wino_cond_tiles(c_lo, k, P, n_pair_k, nb),
                             pf.wino_cond_tiles(c_hi, k, P, n_pair_k, nb))
+            elif g_emb is None and (
+                    mode in ("int8", "direct")
+                    or (mode is None and PAIR_KERNEL_INT8
+                        and cfg.n_flow % 2 == 0
+                        and _pair_kernel_eligible(cfg, False))):
+                # direct-kernel and int8 deep-block routes: feed the FREE
+                # reshape view of the mel halves and permute the cond
+                # weight rows instead — same sums, zero per-block
+                # full-tensor squeeze_to_level copies (~4 ms/block at
+                # b128 x 3.83 s each way)
+                Bc, Tc, C0 = c_lo.shape
+                c_halves = (c_lo.reshape(Bc, Tc >> k, C0 << k),
+                            c_hi.reshape(Bc, Tc >> k, C0 << k))
+                cond_perm = squeeze_level_cond_perm(k, C0)
             else:
                 c_halves = (squeeze_to_level(c_lo, k),
                             squeeze_to_level(c_hi, k))
@@ -810,7 +850,8 @@ def reverse(params: dict, cfg: ModelConfig, z: jax.Array, c: jax.Array,
                         if g_emb is not None else None)
             x, _, _ = block_reverse(params["blocks"][bi], cfg, x,
                                     unsqueeze_cond=False,
-                                    c_halves=c_halves, g_halves=g_halves)
+                                    c_halves=c_halves, g_halves=g_halves,
+                                    cond_perm=cond_perm)
         return x
 
     for bi in reversed(range(cfg.n_block)):

@@ -8,6 +8,7 @@ output channel ``2*c + p`` takes input ``(t = 2*t2 + p, c)`` — i.e. reshape
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def squeeze(x):
@@ -58,6 +59,31 @@ def squeeze_to_level(x, k: int):
     perm = (0, 1, k + 2) + tuple(range(k + 1, 1, -1))
     v = v.transpose(perm)
     return v.reshape(b, t // p, c * p)
+
+
+def squeeze_level_cond_perm(k: int, c: int) -> np.ndarray:
+    """Weight-row permutation that makes the FREE row-major reshape
+    ``[B, T, C] -> [B, T/2**k, 2**k * C]`` equivalent to
+    :func:`squeeze_to_level` for anything consumed by a 1x1 conv:
+
+        squeeze_to_level(x, k) @ W  ==  x.reshape(B, T>>k, C<<k) @ W[perm]
+
+    (exactly, as a sum reordering).  The level-k squeeze layout is the
+    reshape layout with channels permuted — ``squeeze_to_level`` channel
+    ``2**k * c + bitrev_k(delta)`` holds reshape channel ``delta*C + c``
+    — so a synthesis route can skip the per-block full-tensor
+    ``squeeze_to_level`` copy of the conditioning (~4 ms/block at b128 x
+    3.83 s) and permute the tiny cond weight rows instead.  Static numpy:
+    computed at trace time, baked as a constant gather of the weights."""
+    if k == 0:
+        return np.arange(c)
+    n = 1 << k
+    jmap = np.empty(n * c, np.int64)
+    for delta in range(n):
+        rb = int(format(delta, f"0{k}b")[::-1], 2)
+        for ch in range(c):
+            jmap[n * ch + rb] = delta * c + ch
+    return np.argsort(jmap)
 
 
 def change_order(x):

@@ -310,6 +310,7 @@ def test_wino_packed_matches_xla(key, rng, monkeypatch, T, nb, n_pair):
 def test_packed_model_routing_matches_xla(key, rng, monkeypatch):
     """Full tiny model with FWN_PACK=2 routing (packed cond tiles built in
     reverse(), packed kernel in block_reverse): matches the XLA path."""
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_INT8", False)
     monkeypatch.setattr(fwn, "PAIR_KERNEL_CPU_INTERPRET", True)
     monkeypatch.setattr(fwn, "PAIR_KERNEL_PACK", 2)
     cfg_off = dataclasses.replace(CFG, use_pallas=False)
@@ -327,6 +328,7 @@ def test_packed_model_routing_matches_xla(key, rng, monkeypatch):
 def test_chain_model_routing_matches_xla(key, rng, monkeypatch):
     """Full tiny model with n_flow=4 (2 pairs/block): chained kernel path
     (interpret) == XLA path, covering the in-model cond-tile geometry."""
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_INT8", False)
     monkeypatch.setattr(fwn, "PAIR_KERNEL_CPU_INTERPRET", True)
     monkeypatch.setattr(fwn, "PAIR_KERNEL_CHAIN", True)
     cfg_off = dataclasses.replace(CFG, n_flow=4, use_pallas=False)
@@ -359,6 +361,7 @@ def test_wino_cond_tiles_matches_composition(rng, k, P):
 def test_model_routing_matches_xla(key, rng, monkeypatch):
     """reverse() with use_pallas=True (kernel path, interpret on CPU) must
     match use_pallas=False bit-closely on the full tiny model."""
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_INT8", False)
     monkeypatch.setattr(fwn, "PAIR_KERNEL_CPU_INTERPRET", True)
     cfg_off = dataclasses.replace(CFG, use_pallas=False)
     cfg_on = dataclasses.replace(CFG, use_pallas=True)
@@ -376,6 +379,7 @@ def test_routing_gates(key, monkeypatch):
     """Eligibility: causal / gin / odd layers fall back to XLA, CPU never
     routes unless the interpret escape hatch is set, and the variant is
     selected by conditioning width (wino -> direct -> hoisted)."""
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_INT8", False)
     on = dataclasses.replace(CFG, use_pallas=True)
     assert fwn._pair_kernel_mode(on, 160, has_g=False) is None  # cpu backend
     monkeypatch.setattr(fwn, "PAIR_KERNEL_CPU_INTERPRET", True)
@@ -427,6 +431,7 @@ def test_hoisted_pair_kernel_matches_xla(key, rng, T, t_tile):
 def test_hoisted_in_model_routing(key, rng, monkeypatch):
     """Force the hoisted variant for EVERY block of the tiny model (as deep
     blocks use it in production) and match the XLA path end to end."""
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_INT8", False)
     monkeypatch.setattr(fwn, "PAIR_KERNEL_CPU_INTERPRET", True)
     monkeypatch.setattr(fwn, "PAIR_KERNEL_WINO", False)
     monkeypatch.setattr(fwn, "PAIR_KERNEL_HOISTED", True)
@@ -519,6 +524,7 @@ def test_pair_forward_fused_grads_match_xla(key, rng):
 def test_fwd_kernel_model_loss_matches_xla(key, rng, monkeypatch):
     """Full tiny model: loss_fn with the forward kernel routed == pure XLA
     (value AND gradients)."""
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_INT8", False)
     import dataclasses as dc
     from flowavenet_tpu.models.flowavenet import loss_fn
     monkeypatch.setattr(fwn, "PAIR_KERNEL_CPU_INTERPRET", True)

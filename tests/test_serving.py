@@ -164,3 +164,33 @@ def test_service_direct_api():
     with pytest.raises(ValueError, match="mel must be"):
         svc.submit(rng.rand(8, 3).astype(np.float32))
     svc.close()
+
+
+def test_service_steady_state_p50():
+    """Single-stream serving latency: after the first request compiles the
+    bucket, repeat requests of the SAME shape must hit the jit cache —
+    steady-state P50 well under the cold-start wall (a recompile per
+    request would show up as P50 ~ cold)."""
+    import time
+
+    params = init_flowavenet(jax.random.PRNGKey(2), CFG.model)
+    svc = SynthesisService(params, CFG, max_batch=1, batch_window_ms=1.0)
+    rng = np.random.RandomState(1)
+    mel = rng.rand(8, CFG.model.num_mels).astype(np.float32)
+
+    t0 = time.perf_counter()
+    svc.submit(mel, seed=0)
+    cold = time.perf_counter() - t0
+
+    lat = []
+    for i in range(7):
+        t0 = time.perf_counter()
+        svc.submit(mel, seed=i + 1)
+        lat.append(time.perf_counter() - t0)
+    p50 = sorted(lat)[len(lat) // 2]
+    # A per-request recompile costs seconds; the steady-state tiny-model
+    # reverse is tens of ms.  (cold may itself be cheap when the jit /
+    # persistent compile cache is pre-warmed, so no cold/steady ratio —
+    # just bound the steady path.)
+    assert p50 < min(2.0, cold + 1.0), (p50, cold)
+    svc.close()
