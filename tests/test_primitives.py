@@ -14,6 +14,7 @@ from flowavenet_tpu.models.flowavenet import (
     coupling_reverse)
 from flowavenet_tpu.models.modules import init_wavenet
 from flowavenet_tpu.ops.squeeze import (change_order, squeeze,
+                                        squeeze_level_cond_perm,
                                         squeeze_to_level, unsqueeze)
 
 
@@ -44,6 +45,22 @@ def test_squeeze_roundtrip(rng):
     x = jnp.asarray(rng.randn(2, 16, 4), jnp.float32)
     np.testing.assert_array_equal(unsqueeze(squeeze(x)), x)
     np.testing.assert_array_equal(squeeze(unsqueeze(x)), x)
+
+
+@pytest.mark.parametrize("k", [0, 1, 2, 3])
+def test_squeeze_level_cond_perm_identity(rng, k):
+    """squeeze_to_level(x,k) @ W == reshape(x) @ W[perm] — the identity
+    the synthesis cond route uses to replace the per-block extraction
+    copy with a weight-row permutation."""
+    B, C = 2, 5
+    T = 32 << k
+    x = jnp.asarray(rng.randn(B, T, C), jnp.float32)
+    w = jnp.asarray(rng.randn((1 << k) * C, 7), jnp.float32)
+    want = squeeze_to_level(x, k) @ w
+    perm = squeeze_level_cond_perm(k, C)
+    got = x.reshape(B, T >> k, C << k) @ w[perm]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_change_order_involution(rng):
