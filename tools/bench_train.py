@@ -8,6 +8,15 @@ Env knobs: BENCH_BATCH (8) | BENCH_CONFIG (lj22k) | BENCH_ITERS (3)
 
 from __future__ import annotations
 
+import os
+import sys
+
+# runnable without installing the package
+sys.path.insert(0,
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+
 import json
 import os
 import sys

@@ -10,6 +10,14 @@ is available, then feed the .npz to
 import os
 import sys
 
+# runnable without installing the package
+sys.path.insert(0,
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import os
+import sys
+
 import numpy as np
 
 

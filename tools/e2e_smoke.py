@@ -9,6 +9,15 @@ from __future__ import annotations
 
 import os
 import sys
+
+# runnable without installing the package
+sys.path.insert(0,
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+
+import os
+import sys
 import tempfile
 
 import numpy as np

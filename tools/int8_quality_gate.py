@@ -25,6 +25,15 @@ quantization noise being measured is in the math, not the lowering).
 
 from __future__ import annotations
 
+import os
+import sys
+
+# runnable without installing the package
+sys.path.insert(0,
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+
 import argparse
 import dataclasses
 import glob

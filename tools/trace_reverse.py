@@ -10,6 +10,15 @@ Env: BENCH_BATCH (96) | BENCH_SECONDS (4) | TRACE_DIR (/tmp/fwn_trace)
 
 from __future__ import annotations
 
+import os
+import sys
+
+# runnable without installing the package
+sys.path.insert(0,
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+
 import glob
 import gzip
 import json

@@ -12,6 +12,15 @@ Env: VK_BATCH (4) | VK_SECONDS (1) | VK_CONFIG (lj22k)
 
 from __future__ import annotations
 
+import os
+import sys
+
+# runnable without installing the package
+sys.path.insert(0,
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+
 import dataclasses
 import os
 import sys
