@@ -259,10 +259,17 @@ def _pair_step_fwd(cfg: ModelConfig, c_a, c_b, g_a, g_b):
 # 584->444 ms on block 0, 331->297 on block 1, 204->186 on block 2;
 # block 3 loses standalone (125->136) but WINS in-model (full reverse
 # 1212.6 ms with block 3 routed vs 1230.6 without).  Cc = 80 * 2^b, so
-# 640 admits blocks 0-3; deeper blocks' cond weights exceed VMEM and use
-# the HOISTED variant instead (cond matmuls precomputed outside as one
-# big MXU-friendly dot per c half, the rest of the pair fused).
-PAIR_KERNEL_MAX_CC = 640
+# 640 admits blocks 0-3 in bf16; deeper blocks' cond weights exceed VMEM
+# and use the HOISTED variant instead (cond matmuls precomputed outside
+# as one big MXU-friendly dot per c half, the rest of the pair fused).
+#
+# int8 weights halve the resident footprint and admit deeper blocks;
+# measured ladder with pre-quantized conditioning (b128 x 3.83 s, v5e):
+# 640: 918.6 ms | 1280: 905.3 (winner — block 4's XLA scan ran at ~56%
+# of its int8/bf16 mixed speed-of-light, the worst of the deep blocks) |
+# 2560: 910.9 | 5120: 916.6 | 10240: 927.4 — blocks >=5 keep their
+# near-peak XLA pair-scans.  FWN_MAX_CC overrides.
+PAIR_KERNEL_MAX_CC = _env_int("FWN_MAX_CC", 1280 if _INT8_FLAG else 640)
 
 # CPU has no Mosaic backend: the kernel only routes on accelerators, so
 # use_pallas=True is safe as the config default.  Tests flip this to
@@ -511,7 +518,7 @@ def _flow_step_rev(cfg: ModelConfig, has_g: bool, use_pallas: bool = False):
 
 def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
                   unsqueeze_cond: bool = True, c_halves=None,
-                  g_halves=None, cond_perm=None):
+                  g_halves=None, cond_perm=None, c_scales=None):
     """Inverse of block_forward on already-squeezed tensors; unsqueezes at
     the end (model.py:249-277).
 
@@ -527,7 +534,13 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
 
     ``cond_perm``: the c halves are FREE reshape views (not
     squeeze_to_level copies) and the cond weight rows must be permuted by
-    this index array to compensate (see squeeze_level_cond_perm)."""
+    this index array to compensate (see squeeze_level_cond_perm).
+
+    ``c_scales=(s_a, s_b)``: the c halves are PRE-quantized int8 views
+    with these global activation scales (one quantization pass in
+    ``reverse`` shared by every block) — folded into the int8 kernels'
+    cond weight scales; the deep-block scan path receives them as the
+    (q, scale) tuples its int8 cond matmuls expect."""
     if cond_perm is not None:
         assert c_halves is not None, "cond_perm implies pre-split c_halves"
         p = {**p, "flows": _permute_cond_rows(p["flows"], cond_perm)}
@@ -599,7 +612,8 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
                     run = functools.partial(pf.fused_chain_reverse_wino,
                                             nb=nb)
                 elif mode == "int8":
-                    make_ops = pf.pair_reverse_operands_int8
+                    make_ops = functools.partial(
+                        pf.pair_reverse_operands_int8, c_scales=c_scales)
                     run = functools.partial(pf.fused_chain_reverse,
                                             int8=True)
                 else:
@@ -622,7 +636,10 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
                                        [make_ops(pair, dtype=x.dtype)]),
                                    n_pair=1, interpret=interp)
         else:
-            assert not isinstance(c_a, tuple), \
+            # tuples here are either (q, scale) pre-quantized halves (OK,
+            # consumed by the scan's int8 cond matmuls) or wino plane
+            # tiles (wrong route)
+            assert not (isinstance(c_a, tuple) and c_a[0].ndim > 3), \
                 "pre-tiled cond requires a wino kernel route"
             if PAIR_KERNEL_INT8 and _pair_kernel_eligible(cfg, has_g):
                 # Deep blocks (cond too wide for VMEM-resident kernels):
@@ -630,9 +647,11 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
                 # (K = Cc/2 up to 10240 with constant per-block cost —
                 # docs/benchmarks.md), so run THEM on the int8 MXU inside
                 # the XLA pair-scan.  Activations quantize once per block
-                # (scan constants); weights per-out-channel per flow.
-                from ..ops.conv import quantize_act
-                c_a, c_b = quantize_act(c_a), quantize_act(c_b)
+                # (scan constants) unless they arrive pre-quantized from
+                # ``reverse``; weights per-out-channel per flow.
+                if not isinstance(c_a, tuple):
+                    from ..ops.conv import quantize_act
+                    c_a, c_b = quantize_act(c_a), quantize_act(c_b)
             # (measured: unroll=True is time-neutral here but adds ~45 s
             # of compile — the scan stays)
             (u, v), _ = jax.lax.scan(
@@ -812,6 +831,18 @@ def reverse(params: dict, cfg: ModelConfig, z: jax.Array, c: jax.Array,
         c_lo, c_hi = jnp.split(c, 2, axis=2)
         g_lo, g_hi = (jnp.split(g_emb, 2, axis=2) if g_emb is not None
                       else (None, None))
+        # int8 routes: quantize the mel halves ONCE globally.  Every
+        # block's c half is a reshape VIEW of the same data, so the
+        # per-block/per-tile max-abs scales this replaces were (deep
+        # blocks) or were approximately (kernel tiles) the same value;
+        # the kernels then read half the c bytes and skip their
+        # in-kernel amax/round pass.  Quality-gated on trained weights
+        # next to the other int8 scopes (tools/int8_quality_gate.py).
+        q8 = None
+        if (PAIR_KERNEL_INT8 and g_emb is None and cfg.n_flow % 2 == 0
+                and _pair_kernel_eligible(cfg, False)):
+            from ..ops.conv import quantize_act
+            q8 = (quantize_act(c_lo), quantize_act(c_hi))
         for bi in reversed(range(cfg.n_block)):
             k = bi + 1
             cc_half = (cfg.num_mels << k) // 2
@@ -828,7 +859,8 @@ def reverse(params: dict, cfg: ModelConfig, z: jax.Array, c: jax.Array,
                 nb = _pack_factor(z.shape[0])
                 c_halves = (pf.wino_cond_tiles(c_lo, k, P, n_pair_k, nb),
                             pf.wino_cond_tiles(c_hi, k, P, n_pair_k, nb))
-            elif g_emb is None and (
+            c_scales = None
+            if g_emb is None and (
                     mode in ("int8", "direct")
                     or (mode is None and PAIR_KERNEL_INT8
                         and cfg.n_flow % 2 == 0
@@ -839,9 +871,19 @@ def reverse(params: dict, cfg: ModelConfig, z: jax.Array, c: jax.Array,
                 # full-tensor squeeze_to_level copies (~4 ms/block at
                 # b128 x 3.83 s each way)
                 Bc, Tc, C0 = c_lo.shape
-                c_halves = (c_lo.reshape(Bc, Tc >> k, C0 << k),
-                            c_hi.reshape(Bc, Tc >> k, C0 << k))
+                lvl = lambda h: h.reshape(Bc, Tc >> k, C0 << k)
                 cond_perm = squeeze_level_cond_perm(k, C0)
+                if q8 is not None and mode == "int8":
+                    # pre-quantized tiles; scales fold into cond weights
+                    c_halves = (lvl(q8[0][0]), lvl(q8[1][0]))
+                    c_scales = (q8[0][1], q8[1][1])
+                elif q8 is not None and mode is None:
+                    # deep-block scan: (q, scale) tuples for its int8
+                    # cond matmuls
+                    c_halves = ((lvl(q8[0][0]), q8[0][1]),
+                                (lvl(q8[1][0]), q8[1][1]))
+                else:
+                    c_halves = (lvl(c_lo), lvl(c_hi))
             else:
                 c_halves = (squeeze_to_level(c_lo, k),
                             squeeze_to_level(c_hi, k))
@@ -851,7 +893,8 @@ def reverse(params: dict, cfg: ModelConfig, z: jax.Array, c: jax.Array,
             x, _, _ = block_reverse(params["blocks"][bi], cfg, x,
                                     unsqueeze_cond=False,
                                     c_halves=c_halves, g_halves=g_halves,
-                                    cond_perm=cond_perm)
+                                    cond_perm=cond_perm,
+                                    c_scales=c_scales)
         return x
 
     for bi in reversed(range(cfg.n_block)):

@@ -244,10 +244,17 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
                           dilation=dil)
     if isinstance(cond_w, tuple):        # int8 cond path: (cq, cscale)
         cq, cs = cond_w
-        c_amax = jnp.max(jnp.abs(c_buf.astype(jnp.float32)))
-        c_scale = jnp.maximum(c_amax, 1e-30) * (1.0 / 127.0)
-        c_q = jnp.clip(jnp.round(c_buf.astype(jnp.float32) / c_scale),
-                       -127.0, 127.0).astype(jnp.int8)
+        if c_buf.dtype == jnp.int8:
+            # conditioning arrives PRE-quantized (one global max-abs pass
+            # in reverse(), shared by every block); its activation scale
+            # is folded into ``cs`` outside the kernel — no in-kernel
+            # amax/round pass and half the c HBM/DMA bytes
+            c_q, c_scale = c_buf, jnp.float32(1.0)
+        else:
+            c_amax = jnp.max(jnp.abs(c_buf.astype(jnp.float32)))
+            c_scale = jnp.maximum(c_amax, 1e-30) * (1.0 / 127.0)
+            c_q = jnp.clip(jnp.round(c_buf.astype(jnp.float32) / c_scale),
+                           -127.0, 127.0).astype(jnp.int8)
 
         def cond_dot(l, off, length):
             tap = jax.lax.slice_in_dim(c_q, off, off + length, axis=0)
@@ -585,7 +592,8 @@ def _quant_w(w, reduce_axes):
     return wq, scale
 
 
-def pair_reverse_operands_int8(pair: dict, dtype=jnp.bfloat16):
+def pair_reverse_operands_int8(pair: dict, dtype=jnp.bfloat16,
+                               c_scales=None):
     """Operands for the int8 direct kernel: the fg convs, the
     conditioning 1x1s, and (with INT8_RS, the default) the res/skip
     matmuls are quantized to int8 with per-(flow, [layer,] out-channel)
@@ -594,7 +602,12 @@ def pair_reverse_operands_int8(pair: dict, dtype=jnp.bfloat16):
     (_gated_q8) — no extra reduction pass, which is why this pays where
     the max-abs full-int8 variant measured slower.  The front conv, the
     final 1x1 (its input is an unbounded relu sum), and the zero conv
-    (whose output IS log_s/t) stay high-precision."""
+    (whose output IS log_s/t) stay high-precision.
+
+    ``c_scales=(s_a, s_b)``: the conditioning halves arrive PRE-quantized
+    (int8 tiles) with these global activation scales; fold them into the
+    cond weight scales (even flows consume c_a, odd flows c_b) so the
+    kernel's dequant multiply needs no extra operand."""
     ops = list(pair_reverse_operands(pair, dtype))
     scales = []
     # kfg [2, nl, 3, Cin, 2R] -> scales [2, nl, 2R]
@@ -602,6 +615,9 @@ def pair_reverse_operands_int8(pair: dict, dtype=jnp.bfloat16):
     scales.append(s)
     # cond_w [2, nl, Cc, 2R] -> [2, nl, 2R]
     ops[_COND_W_IDX], s = _quant_w(ops[_COND_W_IDX], (2,))
+    if c_scales is not None:
+        s = s * jnp.stack([jnp.asarray(cs, jnp.float32)
+                           for cs in c_scales])[:, None, None]
     scales.append(s)
     if INT8_RS:
         # res_w [2, R, R] -> [2, R]; skip_w [2, nl, R, R] -> [2, nl, R]

@@ -184,6 +184,41 @@ def test_int8_pair_kernel_close_to_xla(key, rng):
         assert rel < 0.08 and corr > 0.998, (rel, corr)
 
 
+def test_int8_pair_kernel_prequantized_cond(key, rng):
+    """PRE-quantized conditioning (int8 tiles + global act scales folded
+    into the cond weight scales via ``c_scales``) matches the in-kernel
+    per-tile-quant int8 route almost exactly: the only difference is the
+    global-vs-per-tile activation scale."""
+    from flowavenet_tpu.ops.conv import quantize_act
+    from flowavenet_tpu.ops.pallas_flow import pair_reverse_operands_int8
+    cfg = CFG
+    params = _randomized(key, cfg)
+    bp = params["blocks"][0]
+    T = 192
+    u = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    v = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    c_a = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    c_b = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    pair = jax.tree.map(lambda l: l[0], fwn._pair_params(bp))
+
+    ops = pair_reverse_operands_int8(pair, dtype=jnp.float32)
+    u_k, v_k = fused_pair_reverse(u, v, c_a, c_b, ops, t_tile=64,
+                                  interpret=True, int8=True)
+
+    (qa, sa), (qb, sb) = quantize_act(c_a), quantize_act(c_b)
+    ops_q = pair_reverse_operands_int8(pair, dtype=jnp.float32,
+                                       c_scales=(sa, sb))
+    u_q, v_q = fused_pair_reverse(u, v, qa, qb, ops_q, t_tile=64,
+                                  interpret=True, int8=True)
+    for got, want in ((u_q, u_k), (v_q, v_k)):
+        got, want = np.asarray(got), np.asarray(want)
+        assert np.all(np.isfinite(got))
+        denom = max(1e-6, float(np.abs(want).max()))
+        rel = float(np.abs(got - want).max()) / denom
+        corr = float(np.corrcoef(got.ravel(), want.ravel())[0, 1])
+        assert rel < 0.02 and corr > 0.9995, (rel, corr)
+
+
 def test_wino_multi_tile(key, rng, monkeypatch):
     """Force several Winograd tiles (small WINO_T_TILE) so cross-tile halo
     and phase bookkeeping is covered."""
