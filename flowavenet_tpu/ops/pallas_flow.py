@@ -98,10 +98,27 @@ DIRECT_T_TILE = _env_int("FWN_DIRECT_TT", 1536 if _INT8 else 1024,
 INT8_RS = _env_flag("FWN_INT8_RS", default=False)
 
 
+# FWN_Q8_BF16=1: run the quantization amax reduce over the activations
+# in their storage dtype (bf16) instead of widening to fp32 first — bf16
+# abs/max are EXACT so the scale is identical and the reduce consumes
+# half the VPU lanes.  MEASURED NEUTRAL (918.2 vs 905-914 ms at b128 x
+# 3.83 s: the amax pass pipelines behind the matmuls either way), so the
+# default keeps the simpler f32 pass.  The round itself must stay f32
+# regardless: Mosaic has no bf16 roundeven (fails to legalize, measured
+# 2026-08-17).
+Q8_BF16 = _env_flag("FWN_Q8_BF16")
+
+
 def _quant_act(x):
     """max-abs int8 quantization of a VMEM value: (q_int8, f32 scale)."""
     f32 = jnp.float32
-    amax = jnp.max(jnp.abs(x.astype(f32)))
+    if Q8_BF16 and x.dtype == jnp.bfloat16:
+        # two-stage reduce: the big (row) pass stays bf16; only the
+        # [C]-sized tail converts to f32 (Mosaic cannot scalarize a
+        # bf16 reduction result)
+        amax = jnp.max(jnp.max(jnp.abs(x), axis=0).astype(f32))
+    else:
+        amax = jnp.max(jnp.abs(x.astype(f32)))
     scale = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
     q = jnp.clip(jnp.round(x.astype(f32) / scale), -127.0, 127.0
                  ).astype(jnp.int8)
