@@ -81,6 +81,13 @@ _GRID_ARBITRARY = _env_flag("FWN_GRID_ARBITRARY")
 # FWN_DIRECT_TT overrides.
 DIRECT_T_TILE = _env_int("FWN_DIRECT_TT", 1536 if _INT8 else 1024,
                          multiple_of=16)
+if _INT8 and DIRECT_T_TILE > 1664:
+    # measured 2026-08-17: FWN_DIRECT_TT=1792 with the s8 conditioning
+    # tiles WEDGES the device on first execution (never returns; the
+    # process must be killed).  Fail fast instead of hanging a job.
+    raise ValueError(
+        f"FWN_DIRECT_TT={DIRECT_T_TILE} > 1664 hangs the int8 kernels "
+        "on v5e (measured device wedge); use <= 1664 or FWN_INT8=0")
 
 # int8 mode quantizes the fg convs and the conditioning 1x1 matmuls (the
 # direct kernel's second-largest MXU consumer — Cc/2 reaches 640 at
