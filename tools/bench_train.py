@@ -18,8 +18,6 @@ sys.path.insert(0,
 
 
 import json
-import os
-import sys
 import time
 
 

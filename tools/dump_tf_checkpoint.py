@@ -15,8 +15,6 @@ sys.path.insert(0,
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-import os
-import sys
 
 import numpy as np
 

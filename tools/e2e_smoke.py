@@ -16,8 +16,6 @@ sys.path.insert(0,
 
 
 
-import os
-import sys
 import tempfile
 
 import numpy as np

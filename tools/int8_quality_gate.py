@@ -37,7 +37,6 @@ sys.path.insert(0,
 import argparse
 import dataclasses
 import glob
-import os
 import shutil
 import tempfile
 

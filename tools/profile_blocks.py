@@ -22,8 +22,6 @@ sys.path.insert(0,
 
 
 
-import os
-import sys
 import time
 
 import jax

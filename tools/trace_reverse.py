@@ -22,8 +22,6 @@ sys.path.insert(0,
 import glob
 import gzip
 import json
-import os
-import sys
 from collections import defaultdict
 
 import jax
