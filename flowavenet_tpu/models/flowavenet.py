@@ -268,8 +268,19 @@ def _pair_step_fwd(cfg: ModelConfig, c_a, c_b, g_a, g_b):
 # 640: 918.6 ms | 1280: 905.3 (winner — block 4's XLA scan ran at ~56%
 # of its int8/bf16 mixed speed-of-light, the worst of the deep blocks) |
 # 2560: 910.9 | 5120: 916.6 | 10240: 927.4 — blocks >=5 keep their
-# near-peak XLA pair-scans.  FWN_MAX_CC overrides.
-PAIR_KERNEL_MAX_CC = _env_int("FWN_MAX_CC", 1280 if _INT8_FLAG else 640)
+# near-peak XLA pair-scans.  FWN_MAX_CC overrides; otherwise the bound
+# follows PAIR_KERNEL_INT8 at ROUTING time (_pair_max_cc below), not a
+# value frozen at import — tools/int8_quality_gate.py toggles the flag
+# at runtime and each mode must keep its own validated envelope.
+PAIR_KERNEL_MAX_CC = _env_int("FWN_MAX_CC", 0) or None
+
+
+def _pair_max_cc() -> int:
+    """Conditioning-width bound for the reverse pair kernels, per the
+    CURRENT int8 mode (1280 int8 / 640 bf16 unless FWN_MAX_CC is set)."""
+    if PAIR_KERNEL_MAX_CC is not None:
+        return PAIR_KERNEL_MAX_CC
+    return 1280 if PAIR_KERNEL_INT8 else 640
 
 # CPU has no Mosaic backend: the kernel only routes on accelerators, so
 # use_pallas=True is safe as the config default.  Tests flip this to
@@ -327,6 +338,12 @@ def _pack_factor(batch: int) -> int:
 # same recompute strategy (and memory profile) as the scan path's
 # jax.checkpoint, but the primal evaluation runs the fused kernel.
 PAIR_KERNEL_FWD = _env_flag("FWN_FWD_KERNEL", default=False)
+# The forward kernel is bf16-only (no int8 variant), so its width bound
+# is the bf16 VMEM envelope — 640 admits blocks 0-3 — and must NOT track
+# _pair_max_cc(), which FWN_INT8 (an inference-route knob, default on)
+# raises to 1280: block 4's bf16 cond weights exceed VMEM, and which
+# blocks TRAIN through the kernel must not depend on a synthesis flag.
+PAIR_KERNEL_FWD_MAX_CC = _env_int("FWN_FWD_MAX_CC", 640)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -420,11 +437,11 @@ def _pair_kernel_mode(cfg: ModelConfig, cc_half: int,
     """'wino' | 'direct' | 'hoisted' | None, by conditioning width."""
     if not _pair_kernel_eligible(cfg, has_g):
         return None
-    if PAIR_KERNEL_INT8 and cc_half <= PAIR_KERNEL_MAX_CC:
+    if PAIR_KERNEL_INT8 and cc_half <= _pair_max_cc():
         return "int8"
     if PAIR_KERNEL_WINO and cc_half <= PAIR_KERNEL_WINO_MAX_CC:
         return "wino4" if PAIR_KERNEL_WINO4 else "wino"
-    if cc_half <= PAIR_KERNEL_MAX_CC:
+    if cc_half <= _pair_max_cc():
         return "direct"
     if PAIR_KERNEL_HOISTED:
         return "hoisted"
@@ -460,7 +477,7 @@ def block_forward(p: dict, cfg: ModelConfig, x, c, g):
         c_a, c_b = jnp.split(c, 2, axis=2)
         g_a, g_b = jnp.split(g, 2, axis=2) if has_g else (None, None)
         if (PAIR_KERNEL_FWD and _pair_kernel_eligible(cfg, has_g)
-                and c_a.shape[-1] <= PAIR_KERNEL_MAX_CC):
+                and c_a.shape[-1] <= PAIR_KERNEL_FWD_MAX_CC):
             # fused forward pair kernel (custom_vjp; no jax.checkpoint —
             # the vjp's input-only residuals already ARE the remat policy)
             interp = jax.default_backend() == "cpu"
@@ -849,6 +866,7 @@ def reverse(params: dict, cfg: ModelConfig, z: jax.Array, c: jax.Array,
             mode = (_pair_kernel_mode(cfg, cc_half, g_emb is not None)
                     if cfg.n_flow % 2 == 0 else None)
             cond_perm = None
+            c_scales = None
             if mode in ("wino", "wino4"):
                 # build the kernels' plane tiles DIRECTLY from the mel
                 # halves: one transpose fuses the level extraction and
@@ -859,8 +877,7 @@ def reverse(params: dict, cfg: ModelConfig, z: jax.Array, c: jax.Array,
                 nb = _pack_factor(z.shape[0])
                 c_halves = (pf.wino_cond_tiles(c_lo, k, P, n_pair_k, nb),
                             pf.wino_cond_tiles(c_hi, k, P, n_pair_k, nb))
-            c_scales = None
-            if g_emb is None and (
+            elif g_emb is None and (
                     mode in ("int8", "direct")
                     or (mode is None and PAIR_KERNEL_INT8
                         and cfg.n_flow % 2 == 0

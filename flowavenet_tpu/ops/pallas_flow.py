@@ -76,18 +76,26 @@ _GRID_ARBITRARY = _env_flag("FWN_GRID_ARBITRARY")
 # Time-tile for the direct (non-Winograd) pair kernels.  1024 was the
 # bf16 sweep winner (1536/2048 lose/exceed VMEM); int8 weights halve the
 # resident footprint and 1536 WINS there (b128 x 3.83 s: 1049.5 vs
-# 1064.3 ms), so the default follows the mode (the shared INT8 flag —
-# NOT a second env read, which once defaulted the int8 route to 1024).
-# FWN_DIRECT_TT overrides.
-DIRECT_T_TILE = _env_int("FWN_DIRECT_TT", 1536 if _INT8 else 1024,
-                         multiple_of=16)
-if _INT8 and DIRECT_T_TILE > 1664:
-    # measured 2026-08-17: FWN_DIRECT_TT=1792 with the s8 conditioning
-    # tiles WEDGES the device on first execution (never returns; the
-    # process must be killed).  Fail fast instead of hanging a job.
-    raise ValueError(
-        f"FWN_DIRECT_TT={DIRECT_T_TILE} > 1664 hangs the int8 kernels "
-        "on v5e (measured device wedge); use <= 1664 or FWN_INT8=0")
+# 1064.3 ms).  FWN_DIRECT_TT overrides for both modes; otherwise the
+# tile follows the int8-ness of the LAUNCH (direct_t_tile below), not a
+# flag frozen at import — tools that toggle flowavenet.PAIR_KERNEL_INT8
+# at runtime (tools/int8_quality_gate.py) must get the tile each mode
+# was actually swept at, not the other mode's.
+DIRECT_T_TILE = _env_int("FWN_DIRECT_TT", 0, multiple_of=16) or None
+
+
+def direct_t_tile(int8: bool) -> int:
+    """Default time-tile for a direct pair-kernel launch in this mode."""
+    tt = DIRECT_T_TILE or (1536 if int8 else 1024)
+    if int8 and tt > 1664:
+        # measured 2026-08-17: FWN_DIRECT_TT=1792 with the s8
+        # conditioning tiles WEDGES the device on first execution (never
+        # returns; the process must be killed).  Fail fast instead of
+        # hanging a job.
+        raise ValueError(
+            f"FWN_DIRECT_TT={tt} > 1664 hangs the int8 kernels "
+            "on v5e (measured device wedge); use <= 1664 or FWN_INT8=0")
+    return tt
 
 # int8 mode quantizes the fg convs and the conditioning 1x1 matmuls (the
 # direct kernel's second-largest MXU consumer — Cc/2 reaches 640 at
@@ -495,8 +503,10 @@ def _pair_kernel_i8rs(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
                       zw, zb, an_s, an_b, kfg_scale, cond_scale,
                       res_scale, skip_scale, u_out, v_out, *, t_tile: int,
                       n_t: int, T: int, n_pair: int = 1):
-    """int8 fg convs + cond 1x1s + res/skip matmuls (INT8_RS, default):
-    the res/skip activations are the gate outputs, quantized with the
+    """int8 fg convs + cond 1x1s + res/skip matmuls (FWN_INT8_RS=1 —
+    OPT-IN, measured neutral-to-slightly-slower; the shipped default is
+    the 17-operand _pair_kernel_i8 without res/skip quantization): the
+    res/skip activations are the gate outputs, quantized with the
     FIXED 1/127 scale (_gated_q8 — |tanh*sigmoid| < 1), so unlike the
     rejected max-abs full-int8 variant there is NO extra reduction pass.
     The final 1x1 stays bf16 (its relu-sum input is unbounded)."""
@@ -619,9 +629,10 @@ def _quant_w(w, reduce_axes):
 def pair_reverse_operands_int8(pair: dict, dtype=jnp.bfloat16,
                                c_scales=None):
     """Operands for the int8 direct kernel: the fg convs, the
-    conditioning 1x1s, and (with INT8_RS, the default) the res/skip
-    matmuls are quantized to int8 with per-(flow, [layer,] out-channel)
-    scales APPENDED (in that order) after an_b.  The res/skip activations
+    conditioning 1x1s, and (with FWN_INT8_RS=1 — opt-in, off by
+    default) the res/skip matmuls are quantized to int8 with
+    per-(flow, [layer,] out-channel) scales APPENDED (in that order)
+    after an_b.  The res/skip activations
     are the gate outputs, quantized in-kernel with the FIXED 1/127 scale
     (_gated_q8) — no extra reduction pass, which is why this pays where
     the max-abs full-int8 variant measured slower.  The front conv, the
@@ -653,8 +664,9 @@ def pair_reverse_operands_int8(pair: dict, dtype=jnp.bfloat16,
 
 
 def pair_reverse_operands_hoisted_int8(pair: dict, dtype=jnp.bfloat16):
-    """Hoisted-conditioning operands with int8 fg/res/skip/final (cond
-    matmuls run outside in bf16), for _pair_kernel_hoisted_i8."""
+    """Hoisted-conditioning operands with int8 fg convs ONLY (res/skip/
+    final stay bf16; the cond matmuls run outside in bf16), for
+    _pair_kernel_hoisted_i8."""
     ops, hoist = pair_reverse_operands_hoisted(pair, dtype)
     ops = list(ops)
     ops[2], s = _quant_w(ops[2], (2, 3))      # kfg
@@ -809,7 +821,7 @@ def fused_chain_reverse(u, v, c_a, c_b, operands, *, n_pair: int,
     dtype = u.dtype
     halo = _chain_halo(n_pair)
     if t_tile is None:
-        t_tile = DIRECT_T_TILE
+        t_tile = direct_t_tile(int8)
     t_tile, n_t, T_pad = _fit_tile(T, t_tile, 16, halo)
 
     ut, uh = _tiles_and_halos(u, t_tile, n_t, T_pad, halo)

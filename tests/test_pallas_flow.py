@@ -410,6 +410,68 @@ def test_model_routing_matches_xla(key, rng, monkeypatch):
     assert np.all(np.isfinite(fast))
 
 
+def test_routing_bounds_follow_runtime_int8_toggle(monkeypatch):
+    """PAIR_KERNEL_INT8 is toggled at RUNTIME by tools/int8_quality_gate.py;
+    the width bound and the direct-kernel tile must follow the live flag,
+    not values frozen from FWN_INT8 at import — otherwise the gate's bf16
+    baseline runs at the int8-swept tile (1536) and width (1280) that the
+    bf16 sweep measured as losing/exceeding VMEM."""
+    from flowavenet_tpu.ops import pallas_flow as pf
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_MAX_CC", None)  # env unset
+    monkeypatch.setattr(pf, "DIRECT_T_TILE", None)
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_INT8", True)
+    assert fwn._pair_max_cc() == 1280
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_INT8", False)
+    assert fwn._pair_max_cc() == 640
+    assert pf.direct_t_tile(True) == 1536
+    assert pf.direct_t_tile(False) == 1024
+    # explicit override wins for both modes
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_MAX_CC", 96)
+    assert fwn._pair_max_cc() == 96
+    monkeypatch.setattr(pf, "DIRECT_T_TILE", 768)
+    assert pf.direct_t_tile(True) == 768
+    assert pf.direct_t_tile(False) == 768
+    # the measured device-wedge guard stays tied to the int8 LAUNCH
+    monkeypatch.setattr(pf, "DIRECT_T_TILE", 1792)
+    assert pf.direct_t_tile(False) == 1792
+    with pytest.raises(ValueError, match="1664"):
+        pf.direct_t_tile(True)
+
+
+def test_wino_cond_pretiling_reaches_kernel(key, rng, monkeypatch):
+    """reverse() builds the wino plane tiles ONCE per block directly from
+    the mel halves, and block_reverse must CONSUME them.  Regression guard
+    for the round-3 cond-route rebinding that silently clobbered the
+    pre-built tiles with squeeze_to_level copies (the numerics stayed
+    right — block_reverse just re-tiled plain arrays — so only call
+    accounting can catch the dead optimization)."""
+    from flowavenet_tpu.ops import pallas_flow as pf
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_INT8", False)
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_CPU_INTERPRET", True)
+    calls = {"tiles": 0, "sqz": 0}
+    real_tiles = pf.wino_cond_tiles
+    monkeypatch.setattr(
+        pf, "wino_cond_tiles",
+        lambda *a, **k: (calls.__setitem__("tiles", calls["tiles"] + 1),
+                         real_tiles(*a, **k))[1])
+    real_sqz = fwn.squeeze_to_level
+    monkeypatch.setattr(
+        fwn, "squeeze_to_level",
+        lambda *a, **k: (calls.__setitem__("sqz", calls["sqz"] + 1),
+                         real_sqz(*a, **k))[1])
+    cfg_on = dataclasses.replace(CFG, use_pallas=True)
+    params = _randomized(key, cfg_on)
+    z = jnp.asarray(rng.randn(2, 8192, 1), jnp.float32)
+    mel = jnp.asarray(rng.rand(2, 8192 // cfg_on.hop_size,
+                               cfg_on.num_mels), jnp.float32)
+    wav = reverse(params, cfg_on, z, mel)
+    assert np.all(np.isfinite(np.asarray(wav)))
+    # one wino_cond_tiles per (block, half); squeeze_to_level only for the
+    # initial x squeeze — zero per-block cond copies
+    assert calls["tiles"] == 2 * cfg_on.n_block
+    assert calls["sqz"] == 1
+
+
 def test_routing_gates(key, monkeypatch):
     """Eligibility: causal / gin / odd layers fall back to XLA, CPU never
     routes unless the interpret escape hatch is set, and the variant is

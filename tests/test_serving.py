@@ -166,31 +166,28 @@ def test_service_direct_api():
     svc.close()
 
 
-def test_service_steady_state_p50():
-    """Single-stream serving latency: after the first request compiles the
-    bucket, repeat requests of the SAME shape must hit the jit cache —
-    steady-state P50 well under the cold-start wall (a recompile per
-    request would show up as P50 ~ cold)."""
-    import time
+def test_service_steady_state_no_retrace():
+    """Single-stream serving: after the first request compiles the bucket,
+    repeat requests of the SAME shape must hit the jit cache.  Asserted on
+    the jitted reverse's compile-cache size — deterministic on loaded CI
+    machines, and catches a per-request retrace even when the persistent
+    compile cache would make the recompile cheap (a wall-clock bound would
+    miss that)."""
+    from flowavenet_tpu.synthesis.synthesize import (_jitted_reverse,
+                                                     resolve_compute_dtype)
 
     params = init_flowavenet(jax.random.PRNGKey(2), CFG.model)
     svc = SynthesisService(params, CFG, max_batch=1, batch_window_ms=1.0)
     rng = np.random.RandomState(1)
     mel = rng.rand(8, CFG.model.num_mels).astype(np.float32)
 
-    t0 = time.perf_counter()
-    svc.submit(mel, seed=0)
-    cold = time.perf_counter() - t0
+    svc.submit(mel, seed=0)  # cold: compiles this bucket once
+    fn = _jitted_reverse(CFG.model, resolve_compute_dtype(CFG, None))
+    warm_cache = fn._cache_size()
+    assert warm_cache >= 1
 
-    lat = []
     for i in range(7):
-        t0 = time.perf_counter()
         svc.submit(mel, seed=i + 1)
-        lat.append(time.perf_counter() - t0)
-    p50 = sorted(lat)[len(lat) // 2]
-    # A per-request recompile costs seconds; the steady-state tiny-model
-    # reverse is tens of ms.  (cold may itself be cheap when the jit /
-    # persistent compile cache is pre-warmed, so no cold/steady ratio —
-    # just bound the steady path.)
-    assert p50 < min(2.0, cold + 1.0), (p50, cold)
+    assert fn._cache_size() == warm_cache, \
+        "same-shape requests must not retrace/recompile the reverse"
     svc.close()
