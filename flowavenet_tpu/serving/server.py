@@ -131,7 +131,11 @@ class SynthesisService:
                         seed=[r.seed for r in group],
                         speaker_ids=sids if use_sid else None,
                         temp=[r.temp for r in group],
-                        bucket_frames=self.bucket_frames)
+                        bucket_frames=self.bucket_frames,
+                        # batch sizes fluctuate with load: bucket them to
+                        # powers of two so a new group size never
+                        # recompiles the reverse (see synthesize_mels)
+                        pad_batch=True)
                     for r, w in zip(group, wavs):
                         r.wav = w
                 except Exception as e:  # surface errors to every waiter

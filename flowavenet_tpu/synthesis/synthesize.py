@@ -91,12 +91,21 @@ def synthesize_mels(params, cfg: Config, mels: list[np.ndarray],
                     seed: int | list[int] = 0, speaker_ids=None,
                     compute_dtype=None,
                     temp: float | list[float] | None = None,
-                    bucket_frames: int = 60) -> list[np.ndarray]:
+                    bucket_frames: int = 60,
+                    pad_batch: bool = False) -> list[np.ndarray]:
     """Synthesize a list of [T_mel, num_mels] mels; returns float32 wavs.
 
     Mels are padded to the longest item (rounded up to ``bucket_frames`` so
     repeated calls reuse compiled shapes) and batched through one jitted
     reverse pass; outputs are cropped back to each true length.
+
+    ``pad_batch=True`` additionally pads the BATCH dimension up to the next
+    power of two (zero rows, cropped from the output), so the set of
+    compiled batch shapes is {1,2,4,...} instead of every group size a
+    caller happens to produce.  The serving worker relies on this: its
+    micro-batch sizes fluctuate with load, and an un-bucketed batch dim
+    would recompile the flagship reverse (minutes) on each new size for at
+    most 2x padding compute.
 
     ``seed`` / ``temp`` may be per-item lists: each item's noise is drawn
     from its OWN seed at the padded length, so an item's audio depends only
@@ -119,15 +128,19 @@ def synthesize_mels(params, cfg: Config, mels: list[np.ndarray],
     frames = [_usable_frames(m.shape[0], cfg) for m in mels]
     pad_frames = padded_frames(max(frames), cfg, bucket_frames)
 
-    batch = np.zeros((n, pad_frames, cfg.audio.num_mels), np.float32)
+    n_rows = 1 << (n - 1).bit_length() if pad_batch else n
+    batch = np.zeros((n_rows, pad_frames, cfg.audio.num_mels), np.float32)
     for i, m in enumerate(mels):
         batch[i, : frames[i]] = m[: frames[i]]
 
-    z = np.stack([
-        np.random.RandomState(s % (2 ** 32)).randn(pad_frames * hop, 1) * t
-        for s, t in zip(seeds, temps)]).astype(np.float32)
-    g = (np.asarray(speaker_ids, np.int32)
-         if cfg.model.gin_channels > 0 and speaker_ids is not None else None)
+    z = np.zeros((n_rows, pad_frames * hop, 1), np.float32)
+    for i, (s, t) in enumerate(zip(seeds, temps)):
+        z[i, :, 0] = np.random.RandomState(s % (2 ** 32)).randn(
+            pad_frames * hop) * t
+    g = None
+    if cfg.model.gin_channels > 0 and speaker_ids is not None:
+        g = np.zeros((n_rows,), np.int32)
+        g[:n] = np.asarray(speaker_ids, np.int32)
 
     wav = _jitted_reverse(cfg.model, dt)(
         params, jnp.asarray(z), jnp.asarray(batch), g)

@@ -154,6 +154,41 @@ def test_per_request_seed_and_temp(server):
             f"{k}: same (mel, seed, temp) must be batch-composition-invariant"
 
 
+def test_pad_batch_buckets_compiles_and_is_value_neutral():
+    """pad_batch=True buckets the BATCH dim to powers of two: group sizes
+    3 and 4 share one compiled program (sizes fluctuate under load and the
+    flagship reverse costs minutes per compile), and the zero pad rows do
+    not change any real item's audio vs the unpadded call."""
+    from flowavenet_tpu.synthesis.synthesize import (_jitted_reverse,
+                                                     resolve_compute_dtype,
+                                                     synthesize_mels)
+
+    params = init_flowavenet(jax.random.PRNGKey(3), CFG.model)
+    rng = np.random.RandomState(7)
+    mels = [rng.rand(8, CFG.model.num_mels).astype(np.float32)
+            for _ in range(4)]
+    fn = _jitted_reverse(CFG.model, resolve_compute_dtype(CFG, None))
+    base = fn._cache_size()
+
+    w3 = synthesize_mels(params, CFG, mels[:3], seed=[0, 1, 2],
+                         pad_batch=True)
+    after3 = fn._cache_size()
+    assert after3 <= base + 1  # batch-4 shape may already be cached
+    w4 = synthesize_mels(params, CFG, mels, seed=[0, 1, 2, 3],
+                         pad_batch=True)
+    assert fn._cache_size() == after3, \
+        "group sizes 3 and 4 must share the padded-to-4 compiled shape"
+
+    # same padded shape -> bit-identical regardless of real group size
+    for a, b in zip(w3, w4[:3]):
+        np.testing.assert_array_equal(a, b)
+    # vs the unpadded batch-3 shape: numerically the same audio (a
+    # different compiled shape may reassociate reductions, so not bitwise)
+    ref = synthesize_mels(params, CFG, mels[:3], seed=[0, 1, 2])
+    for a, b in zip(w3, ref):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
 def test_service_direct_api():
     params = init_flowavenet(jax.random.PRNGKey(1), CFG.model)
     svc = SynthesisService(params, CFG, max_batch=2, batch_window_ms=5.0)
