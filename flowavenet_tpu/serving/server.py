@@ -39,7 +39,7 @@ from typing import Optional
 import numpy as np
 
 from ..config import Config
-from ..synthesis.synthesize import synthesize_mels
+from ..synthesis.synthesize import dispatch_mels, materialize_wavs
 
 
 @dataclass
@@ -54,21 +54,43 @@ class _Request:
 
 
 class SynthesisService:
-    """Device worker with dynamic micro-batching."""
+    """Device worker with dynamic micro-batching.
+
+    Two-stage pipeline: the worker thread drains the queue, groups by
+    bucketed length, and DISPATCHES each group's jitted reverse without
+    blocking on the device (dispatch_mels); a completion thread
+    materializes results and wakes the waiters.  Host prep + result
+    readback for batch k therefore overlap device compute of batch k+1 —
+    on a tunnel- or PCIe-attached chip the transfers are the serving tax,
+    and serializing them with compute was measured to cap the serving
+    bench at ~60% of what the same device sustains pipelined
+    (tools/bench_serving.py, docs/benchmarks.md).
+
+    ``noise='device'`` (default) draws each request's z on device from its
+    seed — same per-(mel, seed, temp) determinism, half the upload bytes;
+    pass 'host' to reproduce offline-CLI audio bit-for-bit."""
 
     def __init__(self, params, cfg: Config, *, max_batch: int = 16,
-                 batch_window_ms: float = 10.0, bucket_frames: int = 60):
+                 batch_window_ms: float = 10.0, bucket_frames: int = 60,
+                 noise: str = "device"):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
         self.batch_window = batch_window_ms / 1000.0
         self.bucket_frames = bucket_frames
+        self.noise = noise
         self._q: "queue.Queue[_Request]" = queue.Queue()
+        # small bound = backpressure: at most 2 dispatched-but-unread
+        # groups in flight so HBM holds a bounded number of result buffers
+        self._done_q: "queue.Queue" = queue.Queue(maxsize=2)
         self._stop = threading.Event()
         self.stats = {"requests": 0, "batches": 0, "audio_seconds": 0.0,
                       "busy_seconds": 0.0}
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+        self._completer = threading.Thread(target=self._complete,
+                                           daemon=True)
+        self._completer.start()
 
     def submit(self, mel: np.ndarray, seed: int = 0,
                speaker_id: Optional[int] = None,
@@ -115,7 +137,7 @@ class SynthesisService:
                 continue
             t0 = time.time()
             # Group by bucketed length: within a group the padded length is
-            # the group key itself, and synthesize_mels draws each item's
+            # the group key itself, and dispatch_mels draws each item's
             # noise from its OWN seed at that length — so a request's audio
             # is bit-identical no matter which companions it batches with.
             groups: dict[int, list[_Request]] = {}
@@ -126,7 +148,7 @@ class SynthesisService:
                 try:
                     sids = [r.speaker_id if r.speaker_id is not None else 0
                             for r in group]
-                    wavs = synthesize_mels(
+                    wav, frames = dispatch_mels(
                         self.params, self.cfg, [r.mel for r in group],
                         seed=[r.seed for r in group],
                         speaker_ids=sids if use_sid else None,
@@ -135,24 +157,41 @@ class SynthesisService:
                         # batch sizes fluctuate with load: bucket them to
                         # powers of two so a new group size never
                         # recompiles the reverse (see synthesize_mels)
-                        pad_batch=True)
-                    for r, w in zip(group, wavs):
-                        r.wav = w
+                        pad_batch=True,
+                        noise=self.noise)
+                    # hand the un-materialized result to the completion
+                    # thread; blocks only when 2 groups are already in
+                    # flight (backpressure)
+                    self._done_q.put((group, wav, frames))
                 except Exception as e:  # surface errors to every waiter
                     for r in group:
                         r.error = f"{type(e).__name__}: {e}"
-            dt = time.time() - t0
+                        r.done.set()
             self.stats["requests"] += len(batch)
             self.stats["batches"] += 1
-            self.stats["busy_seconds"] += dt
-            self.stats["audio_seconds"] += sum(
-                len(r.wav) / self.cfg.audio.sample_rate
-                for r in batch if r.wav is not None)
-            for r in batch:
+            self.stats["busy_seconds"] += time.time() - t0
+
+    def _complete(self) -> None:
+        while True:
+            item = self._done_q.get()
+            if item is None:
+                return
+            group, wav, frames = item
+            try:
+                wavs = materialize_wavs(wav, frames, self.cfg)
+                for r, w in zip(group, wavs):
+                    r.wav = w
+                self.stats["audio_seconds"] += sum(
+                    len(w) / self.cfg.audio.sample_rate for w in wavs)
+            except Exception as e:
+                for r in group:
+                    r.error = f"{type(e).__name__}: {e}"
+            for r in group:
                 r.done.set()
 
     def close(self) -> None:
         self._stop.set()
+        self._done_q.put(None)
 
 
 def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:

@@ -31,6 +31,25 @@ def _jitted_reverse(model_cfg: ModelConfig, dt):
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_reverse_devnoise(model_cfg: ModelConfig, dt, hop: int):
+    """Reverse with the noise drawn ON DEVICE from per-row seeds/temps
+    (threefry), instead of uploading a host-generated z.  Halves the
+    per-batch host->device payload for the serving path — z is as large
+    as the returned audio — at the cost of a DIFFERENT (still fully
+    seed-deterministic) noise stream than the host RandomState one."""
+    def f(params, seeds, temps, c, g=None):
+        T = c.shape[1] * hop
+
+        def row(s, t):
+            return jax.random.normal(
+                jax.random.PRNGKey(s), (T, 1), jnp.float32) * t
+
+        z = jax.vmap(row)(seeds, temps)
+        return reverse(params, model_cfg, z, c, g, compute_dtype=dt)
+    return jax.jit(f)
+
+
 def resolve_compute_dtype(cfg: Config, compute_dtype=None):
     """The dtype synthesis will actually run in: an explicit request wins,
     else cfg.train.compute_dtype decides."""
@@ -87,32 +106,27 @@ def padded_frames(frames: int, cfg: Config, bucket_frames: int = 60) -> int:
     return pad
 
 
-def synthesize_mels(params, cfg: Config, mels: list[np.ndarray],
-                    seed: int | list[int] = 0, speaker_ids=None,
-                    compute_dtype=None,
-                    temp: float | list[float] | None = None,
-                    bucket_frames: int = 60,
-                    pad_batch: bool = False) -> list[np.ndarray]:
-    """Synthesize a list of [T_mel, num_mels] mels; returns float32 wavs.
+def dispatch_mels(params, cfg: Config, mels: list[np.ndarray],
+                  seed: int | list[int] = 0, speaker_ids=None,
+                  compute_dtype=None,
+                  temp: float | list[float] | None = None,
+                  bucket_frames: int = 60,
+                  pad_batch: bool = False,
+                  noise: str = "host"):
+    """Asynchronously dispatch one batched reverse pass; returns
+    ``(wav_device_array, frames)`` WITHOUT blocking on the device.
 
-    Mels are padded to the longest item (rounded up to ``bucket_frames`` so
-    repeated calls reuse compiled shapes) and batched through one jitted
-    reverse pass; outputs are cropped back to each true length.
+    The caller materializes audio with :func:`materialize_wavs` — keeping
+    the two halves separate lets a serving worker prepare and dispatch
+    batch k+1 while batch k still computes and its result streams back
+    (serving/server.py pipelines exactly this way).
 
-    ``pad_batch=True`` additionally pads the BATCH dimension up to the next
-    power of two (zero rows, cropped from the output), so the set of
-    compiled batch shapes is {1,2,4,...} instead of every group size a
-    caller happens to produce.  The serving worker relies on this: its
-    micro-batch sizes fluctuate with load, and an un-bucketed batch dim
-    would recompile the flagship reverse (minutes) on each new size for at
-    most 2x padding compute.
-
-    ``seed`` / ``temp`` may be per-item lists: each item's noise is drawn
-    from its OWN seed at the padded length, so an item's audio depends only
-    on (mel, seed, temp, padded length) — never on its batch companions.
-    A scalar seed expands to ``seed + i`` per item so batch rows still get
-    distinct noise.
+    ``noise='device'`` draws each row's z on device from its seed
+    (threefry) instead of uploading host RandomState noise — a different
+    but equally seed-deterministic stream, and half the upload bytes.
     """
+    if noise not in ("host", "device"):
+        raise ValueError(f"noise must be 'host' or 'device', got {noise!r}")
     dt = resolve_compute_dtype(cfg, compute_dtype)
     n = len(mels)
     seeds = [seed + i for i in range(n)] if isinstance(seed, int) else seed
@@ -133,19 +147,69 @@ def synthesize_mels(params, cfg: Config, mels: list[np.ndarray],
     for i, m in enumerate(mels):
         batch[i, : frames[i]] = m[: frames[i]]
 
-    z = np.zeros((n_rows, pad_frames * hop, 1), np.float32)
-    for i, (s, t) in enumerate(zip(seeds, temps)):
-        z[i, :, 0] = np.random.RandomState(s % (2 ** 32)).randn(
-            pad_frames * hop) * t
     g = None
     if cfg.model.gin_channels > 0 and speaker_ids is not None:
         g = np.zeros((n_rows,), np.int32)
         g[:n] = np.asarray(speaker_ids, np.int32)
 
-    wav = _jitted_reverse(cfg.model, dt)(
-        params, jnp.asarray(z), jnp.asarray(batch), g)
+    if noise == "device":
+        s_arr = np.zeros((n_rows,), np.uint32)
+        t_arr = np.zeros((n_rows,), np.float32)
+        s_arr[:n] = np.asarray(seeds, np.int64).astype(np.uint32)
+        t_arr[:n] = temps
+        wav = _jitted_reverse_devnoise(cfg.model, dt, hop)(
+            params, jnp.asarray(s_arr), jnp.asarray(t_arr),
+            jnp.asarray(batch), g)
+    else:
+        z = np.zeros((n_rows, pad_frames * hop, 1), np.float32)
+        for i, (s, t) in enumerate(zip(seeds, temps)):
+            z[i, :, 0] = np.random.RandomState(s % (2 ** 32)).randn(
+                pad_frames * hop) * t
+        wav = _jitted_reverse(cfg.model, dt)(
+            params, jnp.asarray(z), jnp.asarray(batch), g)
+    return wav, frames
+
+
+def materialize_wavs(wav, frames, cfg: Config) -> list[np.ndarray]:
+    """Block on a :func:`dispatch_mels` result and crop each row back to
+    its true length (float32 host arrays)."""
+    hop = cfg.audio.hop_size
     wav = np.asarray(wav.astype(jnp.float32))
-    return [wav[i, : frames[i] * hop, 0] for i in range(n)]
+    return [wav[i, : frames[i] * hop, 0] for i in range(len(frames))]
+
+
+def synthesize_mels(params, cfg: Config, mels: list[np.ndarray],
+                    seed: int | list[int] = 0, speaker_ids=None,
+                    compute_dtype=None,
+                    temp: float | list[float] | None = None,
+                    bucket_frames: int = 60,
+                    pad_batch: bool = False,
+                    noise: str = "host") -> list[np.ndarray]:
+    """Synthesize a list of [T_mel, num_mels] mels; returns float32 wavs.
+
+    Mels are padded to the longest item (rounded up to ``bucket_frames`` so
+    repeated calls reuse compiled shapes) and batched through one jitted
+    reverse pass; outputs are cropped back to each true length.
+
+    ``pad_batch=True`` additionally pads the BATCH dimension up to the next
+    power of two (zero rows, cropped from the output), so the set of
+    compiled batch shapes is {1,2,4,...} instead of every group size a
+    caller happens to produce.  The serving worker relies on this: its
+    micro-batch sizes fluctuate with load, and an un-bucketed batch dim
+    would recompile the flagship reverse (minutes) on each new size for at
+    most 2x padding compute.
+
+    ``seed`` / ``temp`` may be per-item lists: each item's noise is drawn
+    from its OWN seed at the padded length, so an item's audio depends only
+    on (mel, seed, temp, padded length, noise mode) — never on its batch
+    companions.  A scalar seed expands to ``seed + i`` per item so batch
+    rows still get distinct noise.  ``noise``: see :func:`dispatch_mels`.
+    """
+    wav, frames = dispatch_mels(
+        params, cfg, mels, seed=seed, speaker_ids=speaker_ids,
+        compute_dtype=compute_dtype, temp=temp,
+        bucket_frames=bucket_frames, pad_batch=pad_batch, noise=noise)
+    return materialize_wavs(wav, frames, cfg)
 
 
 def main(argv=None):

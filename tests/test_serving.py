@@ -189,6 +189,31 @@ def test_pad_batch_buckets_compiles_and_is_value_neutral():
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
 
+def test_device_noise_deterministic_and_distinct():
+    """noise='device' (the serving default): same (mel, seed, temp) is
+    bit-identical across different batch compositions; different seeds
+    differ; and the stream is NOT the host RandomState one (callers who
+    need CLI-identical audio pass noise='host')."""
+    from flowavenet_tpu.synthesis.synthesize import synthesize_mels
+
+    params = init_flowavenet(jax.random.PRNGKey(4), CFG.model)
+    rng = np.random.RandomState(11)
+    mels = [rng.rand(8, CFG.model.num_mels).astype(np.float32)
+            for _ in range(3)]
+    a = synthesize_mels(params, CFG, mels[:2], seed=[5, 6], pad_batch=True,
+                        noise="device")
+    b = synthesize_mels(params, CFG, [mels[2], mels[0], mels[1]],
+                        seed=[9, 5, 6], pad_batch=True, noise="device")
+    np.testing.assert_array_equal(a[0], b[1])
+    np.testing.assert_array_equal(a[1], b[2])
+    assert not np.array_equal(a[0], a[1])
+    host = synthesize_mels(params, CFG, mels[:1], seed=[5], pad_batch=True,
+                           noise="host")
+    assert not np.array_equal(a[0], host[0])
+    with pytest.raises(ValueError, match="noise"):
+        synthesize_mels(params, CFG, mels[:1], noise="nope")
+
+
 def test_service_direct_api():
     params = init_flowavenet(jax.random.PRNGKey(1), CFG.model)
     svc = SynthesisService(params, CFG, max_batch=2, batch_window_ms=5.0)

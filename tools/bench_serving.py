@@ -80,8 +80,8 @@ def main() -> None:
         b *= 2
     for bsz in sizes:
         t0 = time.time()
-        synthesize_mels(params, cfg, [mel] * bsz,
-                        seed=list(range(bsz)), pad_batch=True)
+        synthesize_mels(params, cfg, [mel] * bsz, seed=list(range(bsz)),
+                        pad_batch=True, noise=svc.noise)
         print(f"# warm batch {bsz}: {time.time() - t0:.1f}s",
               file=sys.stderr)
 
