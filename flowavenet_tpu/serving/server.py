@@ -68,17 +68,23 @@ class SynthesisService:
 
     ``noise='device'`` (default) draws each request's z on device from its
     seed — same per-(mel, seed, temp) determinism, half the upload bytes;
-    pass 'host' to reproduce offline-CLI audio bit-for-bit."""
+    pass 'host' to reproduce offline-CLI audio bit-for-bit.
+
+    ``pcm16=True`` (default, device-noise only) quantizes audio to 16-bit
+    PCM ON DEVICE: ``submit`` returns int16 samples (exactly the values the
+    WAV layer would have produced from float32) and the result readback —
+    the dominant per-batch transfer — halves."""
 
     def __init__(self, params, cfg: Config, *, max_batch: int = 16,
                  batch_window_ms: float = 10.0, bucket_frames: int = 60,
-                 noise: str = "device"):
+                 noise: str = "device", pcm16: bool = True):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
         self.batch_window = batch_window_ms / 1000.0
         self.bucket_frames = bucket_frames
         self.noise = noise
+        self.pcm16 = pcm16 and noise == "device"
         self._q: "queue.Queue[_Request]" = queue.Queue()
         # small bound = backpressure: at most 2 dispatched-but-unread
         # groups in flight so HBM holds a bounded number of result buffers
@@ -158,7 +164,7 @@ class SynthesisService:
                         # powers of two so a new group size never
                         # recompiles the reverse (see synthesize_mels)
                         pad_batch=True,
-                        noise=self.noise)
+                        noise=self.noise, pcm16=self.pcm16)
                     # hand the un-materialized result to the completion
                     # thread; blocks only when 2 groups are already in
                     # flight (backpressure)
@@ -200,7 +206,11 @@ def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        pcm = np.clip(np.rint(audio * 32768.0), -32768, 32767).astype("<i2")
+        if audio.dtype == np.int16:  # already PCM-quantized on device
+            pcm = audio.astype("<i2", copy=False)
+        else:
+            pcm = np.clip(np.rint(audio * 32768.0),
+                          -32768, 32767).astype("<i2")
         w.writeframes(pcm.tobytes())
     return buf.getvalue()
 

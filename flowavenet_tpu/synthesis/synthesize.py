@@ -32,12 +32,18 @@ def _jitted_reverse(model_cfg: ModelConfig, dt):
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_reverse_devnoise(model_cfg: ModelConfig, dt, hop: int):
+def _jitted_reverse_devnoise(model_cfg: ModelConfig, dt, hop: int,
+                             pcm16: bool):
     """Reverse with the noise drawn ON DEVICE from per-row seeds/temps
     (threefry), instead of uploading a host-generated z.  Halves the
     per-batch host->device payload for the serving path — z is as large
     as the returned audio — at the cost of a DIFFERENT (still fully
-    seed-deterministic) noise stream than the host RandomState one."""
+    seed-deterministic) noise stream than the host RandomState one.
+
+    ``pcm16`` additionally quantizes the audio to 16-bit PCM ON DEVICE
+    (round-half-even, clipped) — the serving layer emits 16-bit WAV
+    anyway, so this halves the device->host result bytes at zero loss
+    relative to the served format."""
     def f(params, seeds, temps, c, g=None):
         T = c.shape[1] * hop
 
@@ -46,7 +52,11 @@ def _jitted_reverse_devnoise(model_cfg: ModelConfig, dt, hop: int):
                 jax.random.PRNGKey(s), (T, 1), jnp.float32) * t
 
         z = jax.vmap(row)(seeds, temps)
-        return reverse(params, model_cfg, z, c, g, compute_dtype=dt)
+        wav = reverse(params, model_cfg, z, c, g, compute_dtype=dt)
+        if pcm16:
+            wav = jnp.clip(jnp.round(wav.astype(jnp.float32) * 32768.0),
+                           -32768, 32767).astype(jnp.int16)
+        return wav
     return jax.jit(f)
 
 
@@ -112,7 +122,8 @@ def dispatch_mels(params, cfg: Config, mels: list[np.ndarray],
                   temp: float | list[float] | None = None,
                   bucket_frames: int = 60,
                   pad_batch: bool = False,
-                  noise: str = "host"):
+                  noise: str = "host",
+                  pcm16: bool = False):
     """Asynchronously dispatch one batched reverse pass; returns
     ``(wav_device_array, frames)`` WITHOUT blocking on the device.
 
@@ -124,9 +135,13 @@ def dispatch_mels(params, cfg: Config, mels: list[np.ndarray],
     ``noise='device'`` draws each row's z on device from its seed
     (threefry) instead of uploading host RandomState noise — a different
     but equally seed-deterministic stream, and half the upload bytes.
+    ``pcm16`` (device-noise path only) quantizes to 16-bit PCM on device,
+    halving the result readback; rows come back int16.
     """
     if noise not in ("host", "device"):
         raise ValueError(f"noise must be 'host' or 'device', got {noise!r}")
+    if pcm16 and noise != "device":
+        raise ValueError("pcm16=True requires noise='device'")
     dt = resolve_compute_dtype(cfg, compute_dtype)
     n = len(mels)
     seeds = [seed + i for i in range(n)] if isinstance(seed, int) else seed
@@ -157,7 +172,7 @@ def dispatch_mels(params, cfg: Config, mels: list[np.ndarray],
         t_arr = np.zeros((n_rows,), np.float32)
         s_arr[:n] = np.asarray(seeds, np.int64).astype(np.uint32)
         t_arr[:n] = temps
-        wav = _jitted_reverse_devnoise(cfg.model, dt, hop)(
+        wav = _jitted_reverse_devnoise(cfg.model, dt, hop, pcm16)(
             params, jnp.asarray(s_arr), jnp.asarray(t_arr),
             jnp.asarray(batch), g)
     else:
@@ -172,9 +187,13 @@ def dispatch_mels(params, cfg: Config, mels: list[np.ndarray],
 
 def materialize_wavs(wav, frames, cfg: Config) -> list[np.ndarray]:
     """Block on a :func:`dispatch_mels` result and crop each row back to
-    its true length (float32 host arrays)."""
+    its true length.  Rows are float32, or int16 when the dispatch used
+    ``pcm16=True`` (the bytes come back already PCM-quantized)."""
     hop = cfg.audio.hop_size
-    wav = np.asarray(wav.astype(jnp.float32))
+    if wav.dtype == jnp.int16:
+        wav = np.asarray(wav)
+    else:
+        wav = np.asarray(wav.astype(jnp.float32))
     return [wav[i, : frames[i] * hop, 0] for i in range(len(frames))]
 
 
@@ -184,8 +203,10 @@ def synthesize_mels(params, cfg: Config, mels: list[np.ndarray],
                     temp: float | list[float] | None = None,
                     bucket_frames: int = 60,
                     pad_batch: bool = False,
-                    noise: str = "host") -> list[np.ndarray]:
-    """Synthesize a list of [T_mel, num_mels] mels; returns float32 wavs.
+                    noise: str = "host",
+                    pcm16: bool = False) -> list[np.ndarray]:
+    """Synthesize a list of [T_mel, num_mels] mels; returns float32 wavs
+    (int16 with ``pcm16=True`` — see :func:`dispatch_mels`).
 
     Mels are padded to the longest item (rounded up to ``bucket_frames`` so
     repeated calls reuse compiled shapes) and batched through one jitted
@@ -208,7 +229,8 @@ def synthesize_mels(params, cfg: Config, mels: list[np.ndarray],
     wav, frames = dispatch_mels(
         params, cfg, mels, seed=seed, speaker_ids=speaker_ids,
         compute_dtype=compute_dtype, temp=temp,
-        bucket_frames=bucket_frames, pad_batch=pad_batch, noise=noise)
+        bucket_frames=bucket_frames, pad_batch=pad_batch, noise=noise,
+        pcm16=pcm16)
     return materialize_wavs(wav, frames, cfg)
 
 

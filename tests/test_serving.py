@@ -214,6 +214,29 @@ def test_device_noise_deterministic_and_distinct():
         synthesize_mels(params, CFG, mels[:1], noise="nope")
 
 
+def test_pcm16_on_device_matches_host_quantization():
+    """pcm16=True returns the SAME int16 samples the WAV layer would have
+    produced from the float32 result (round-half-even then clip), so
+    halving the readback bytes changes nothing the client receives."""
+    from flowavenet_tpu.serving.server import _wav_bytes
+    from flowavenet_tpu.synthesis.synthesize import synthesize_mels
+
+    params = init_flowavenet(jax.random.PRNGKey(5), CFG.model)
+    rng = np.random.RandomState(13)
+    mels = [rng.rand(8, CFG.model.num_mels).astype(np.float32)
+            for _ in range(2)]
+    f32 = synthesize_mels(params, CFG, mels, seed=[1, 2], pad_batch=True,
+                          noise="device")
+    i16 = synthesize_mels(params, CFG, mels, seed=[1, 2], pad_batch=True,
+                          noise="device", pcm16=True)
+    sr = CFG.audio.sample_rate
+    for a, b in zip(f32, i16):
+        assert b.dtype == np.int16
+        assert _wav_bytes(a, sr) == _wav_bytes(b, sr)
+    with pytest.raises(ValueError, match="pcm16"):
+        synthesize_mels(params, CFG, mels, pcm16=True)  # host noise
+
+
 def test_service_direct_api():
     params = init_flowavenet(jax.random.PRNGKey(1), CFG.model)
     svc = SynthesisService(params, CFG, max_batch=2, batch_window_ms=5.0)

@@ -81,7 +81,7 @@ def main() -> None:
     for bsz in sizes:
         t0 = time.time()
         synthesize_mels(params, cfg, [mel] * bsz, seed=list(range(bsz)),
-                        pad_batch=True, noise=svc.noise)
+                        pad_batch=True, noise=svc.noise, pcm16=svc.pcm16)
         print(f"# warm batch {bsz}: {time.time() - t0:.1f}s",
               file=sys.stderr)
 
