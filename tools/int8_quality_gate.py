@@ -48,6 +48,11 @@ def main() -> None:
     p.add_argument("workdir", nargs="?", default=None)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--config", default="tiny",
+                   help="model preset to train/gate (tiny | lj22k | ...); "
+                        "lj22k gates the PRODUCTION kernel widths — the "
+                        "int8 direct kernels only route at flagship "
+                        "conditioning widths, which tiny never reaches")
     p.add_argument("--ref_wavs",
                    default="/root/reference/examples/original")
     args = p.parse_args()
@@ -62,7 +67,7 @@ def main() -> None:
 
     from flowavenet_tpu.audio.preprocessing import preprocess
     from flowavenet_tpu.audio.mel import process_wav
-    from flowavenet_tpu.config import tiny
+    from flowavenet_tpu.config import get_config
     from flowavenet_tpu.models import flowavenet as fwn
     from flowavenet_tpu.models.flowavenet import reverse
     from flowavenet_tpu.synthesis.synthesize import load_params
@@ -71,7 +76,7 @@ def main() -> None:
     work = args.workdir or tempfile.mkdtemp(prefix="fwn_int8gate_")
     os.makedirs(work, exist_ok=True)
     print(f"workdir: {work}")
-    cfg = tiny()
+    cfg = get_config(args.config)
     sr = cfg.audio.sample_rate
 
     # 1. corpus from the reference's 6 sample utterances
