@@ -1,1 +1,3 @@
+from .streaming import (plan_chunks, reverse_halo, stream_reverse,
+                        synthesize_streaming)
 from .synthesize import load_params, synthesize_mels

@@ -1,0 +1,150 @@
+"""Exact chunked / streaming synthesis.
+
+The reverse pass is a finite-receptive-field convolutional map: ActNorms
+are pointwise in time, every coupling net is a stack of dilated convs,
+squeeze/change_order are local reshapes, and nothing normalizes across
+the full sequence.  Audio sample t therefore depends on (z, mel) only
+within a window whose one-sided extent is computable from the config
+(:func:`reverse_halo`).  That makes EXACT streaming possible — something
+the reference's one-shot synthesize.py (synthesize.py:10-49) cannot do:
+
+* slide a fixed-size window over the utterance, synthesize each window,
+  and keep only the center — interior samples match the full-utterance
+  reverse to compiled-shape numerics (tests/test_streaming.py asserts
+  bit-equality on TPU-shaped CPU runs at tolerance 0);
+* ONE compiled shape serves ANY utterance length (no length buckets at
+  all), and HBM stays bounded by the window, not the utterance;
+* time-to-first-audio is one window's synthesis, independent of total
+  length — the streaming-TTS latency metric.
+
+Receptive-field accounting (one-sided, in audio samples):
+
+* block b runs at 2^(b+1) audio samples per squeezed step (each block
+  squeezes time by 2 on entry);
+* one flow's coupling net: front conv (kernel 3, one-sided extent 1)
+  plus n_layer dilated convs (kernel 3, dilation 3^i → extent 3^i),
+  so  rf_flow = 1 + (3^n_layer - 1) / 2  squeezed steps;
+* per block: n_flow * rf_flow squeezed steps; summed over blocks:
+  halo = n_flow * rf_flow * (2^(n_block+1) - 2)  audio samples.
+
+The conditioning path adds the upsampler's reach on the mel side: each
+Conv2DTranspose(kernel 2s, stride s, SAME) reads <=1 neighbor frame per
+level (models/upsample.py), bounded by +4 mel frames total.
+
+Windows must start at absolute positions that are multiples of the
+squeeze factor so the chunk's squeeze grouping matches the full-length
+one; :func:`plan_chunks` rounds the halo up to make every window
+aligned.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Iterator, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, ModelConfig
+from .synthesize import _jitted_reverse, _usable_frames, resolve_compute_dtype
+
+
+def reverse_halo(m: ModelConfig) -> int:
+    """One-sided receptive-field extent of reverse() in AUDIO samples
+    (z and upsampled-conditioning reach; mel-frame reach is this / hop
+    plus the upsampler's own +4 frames)."""
+    rf_flow = 1 + (3 ** m.n_layer - 1) // 2
+    return m.n_flow * rf_flow * (2 ** (m.n_block + 1) - 2)
+
+
+@dataclasses.dataclass(frozen=True)
+class ChunkPlan:
+    """Static geometry of a streaming run: every window is the same
+    shape, so the jitted reverse compiles exactly once."""
+    chunk_frames: int      # mel frames of NEW audio per chunk
+    halo_frames: int       # one-sided context frames (aligned)
+    window_frames: int     # chunk_frames + 2 * halo_frames
+    n_chunks: int
+    total_frames: int      # usable frames of the utterance
+
+
+def plan_chunks(cfg: Config, mel_frames: int,
+                chunk_frames: Optional[int] = None,
+                halo_frames: Optional[int] = None) -> ChunkPlan:
+    """Choose an aligned (chunk, halo) geometry for an utterance.
+
+    Both the chunk and the halo are rounded so that frames * hop is a
+    multiple of the squeeze factor — then every window start k*chunk -
+    halo is aligned and the window's squeeze grouping matches the
+    full-utterance one (exactness requirement, see module docstring).
+    """
+    hop = cfg.audio.hop_size
+    sq = cfg.model.squeeze_factor
+    align = sq // math.gcd(sq, hop)  # frames per aligned boundary
+
+    total = _usable_frames(mel_frames, cfg)
+    if halo_frames is None:
+        halo_frames = -(-reverse_halo(cfg.model) // hop) + 4
+    halo_frames = -(-halo_frames // align) * align
+    if chunk_frames is None:
+        chunk_frames = max(2 * halo_frames, 4 * align)
+    chunk_frames = -(-chunk_frames // align) * align
+    window = chunk_frames + 2 * halo_frames
+    if window >= total:
+        # utterance fits one window: a single full-length "chunk"
+        return ChunkPlan(total, 0, total, 1, total)
+    n_chunks = -(-total // chunk_frames)
+    return ChunkPlan(chunk_frames, halo_frames, window, n_chunks, total)
+
+
+def stream_reverse(params, cfg: Config, mel: np.ndarray,
+                   seed: int = 0, temp: Optional[float] = None,
+                   chunk_frames: Optional[int] = None,
+                   halo_frames: Optional[int] = None,
+                   compute_dtype=None,
+                   ) -> Iterator[tuple[int, np.ndarray]]:
+    """Yield ``(start_sample, float32 audio chunk)`` pairs for one
+    [T_mel, num_mels] mel, left to right, exactly reproducing the
+    full-utterance reverse for the same (seed, temp).
+
+    The noise is the SAME full-length host RandomState stream the
+    offline path draws (one sequential generation, sliced per window),
+    so concatenating the chunks is bit-comparable to
+    ``synthesize_mels(..., bucket_frames=1)`` on an aligned length.
+    """
+    if mel.ndim != 2 or mel.shape[1] != cfg.audio.num_mels:
+        raise ValueError(
+            f"mel must be [T, {cfg.audio.num_mels}], got {mel.shape}")
+    dt = resolve_compute_dtype(cfg, compute_dtype)
+    hop = cfg.audio.hop_size
+    t0 = cfg.train.temp if temp is None else float(temp)
+    plan = plan_chunks(cfg, mel.shape[0], chunk_frames, halo_frames)
+
+    # one sequential noise stream for the whole utterance, as offline
+    z_full = np.random.RandomState(seed % (2 ** 32)).randn(
+        plan.total_frames * hop).astype(np.float32) * t0
+    mel = np.ascontiguousarray(mel[: plan.total_frames], np.float32)
+
+    fn = _jitted_reverse(cfg.model, dt)
+    for k in range(plan.n_chunks):
+        start = k * plan.chunk_frames                  # first NEW frame
+        stop = min(start + plan.chunk_frames, plan.total_frames)
+        # aligned fixed-size window, clamped into the utterance
+        w0 = min(max(start - plan.halo_frames, 0),
+                 plan.total_frames - plan.window_frames)
+        c = mel[w0: w0 + plan.window_frames]
+        z = z_full[w0 * hop: (w0 + plan.window_frames) * hop]
+        wav = fn(params, jnp.asarray(z)[None, :, None],
+                 jnp.asarray(c)[None], None)
+        wav = np.asarray(wav[0, :, 0].astype(jnp.float32))
+        keep0 = (start - w0) * hop
+        yield start * hop, wav[keep0: keep0 + (stop - start) * hop]
+
+
+def synthesize_streaming(params, cfg: Config, mel: np.ndarray,
+                         **kw) -> np.ndarray:
+    """Convenience: run :func:`stream_reverse` to completion and return
+    the concatenated utterance (float32)."""
+    return np.concatenate([a for _, a in
+                           stream_reverse(params, cfg, mel, **kw)])

@@ -247,6 +247,12 @@ def main(argv=None):
     parser.add_argument("--bucket_frames", type=int, default=60,
                         help="pad mel lengths up to multiples of this so "
                              "batches reuse compiled shapes")
+    parser.add_argument("--stream", action="store_true",
+                        help="chunked streaming synthesis (streaming.py): "
+                             "one compiled window shape for ANY length, "
+                             "bounded memory; exact vs one-shot")
+    parser.add_argument("--chunk_frames", type=int, default=None,
+                        help="--stream window advance, in mel frames")
     args = parser.parse_args(argv)
 
     cfg = get_config(args.config)
@@ -264,9 +270,17 @@ def main(argv=None):
         chunk = names[i : i + args.batch_size]
         mels = [np.load(os.path.join(args.mels_dir, n)) for n in chunk]
         t0 = time.time()
-        wavs = synthesize_mels(params, cfg, mels, seed=args.seed + i,
-                               temp=args.temp,
-                               bucket_frames=args.bucket_frames)
+        if args.stream:
+            from .streaming import synthesize_streaming
+            wavs = [synthesize_streaming(
+                        params, cfg, m.astype(np.float32),
+                        seed=args.seed + i + j, temp=args.temp,
+                        chunk_frames=args.chunk_frames)
+                    for j, m in enumerate(mels)]
+        else:
+            wavs = synthesize_mels(params, cfg, mels, seed=args.seed + i,
+                                   temp=args.temp,
+                                   bucket_frames=args.bucket_frames)
         dt = time.time() - t0
         for n, w in zip(chunk, wavs):
             write_wav(os.path.join(args.output_dir, n[:-4] + ".wav"), w,

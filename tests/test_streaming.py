@@ -1,0 +1,129 @@
+"""Streaming synthesis: exactness vs the full-utterance reverse, halo
+bound validity (empirical receptive field), plan geometry."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowavenet_tpu.config import tiny
+from flowavenet_tpu.models.flowavenet import init_flowavenet, reverse
+from flowavenet_tpu.synthesis.streaming import (ChunkPlan, plan_chunks,
+                                                reverse_halo,
+                                                stream_reverse,
+                                                synthesize_streaming)
+
+CFG = tiny()
+
+
+def _damped_params(key, cfg, scale=0.05):
+    """Randomized-but-damped params: nonzero couplings (so the receptive
+    field is real) without the chaotic amplification of full-scale random
+    weights (memory: reorder noise alone decorrelates those)."""
+    params = init_flowavenet(key, cfg)
+    leaves, treedef = jax.tree.flatten(params)
+    r = np.random.RandomState(3)
+    out = [l + jnp.asarray(scale * r.randn(*l.shape), l.dtype)
+           for l in leaves]
+    return jax.tree.unflatten(treedef, out)
+
+
+def test_plan_alignment_and_fallback():
+    plan = plan_chunks(CFG, 64)
+    hop = CFG.audio.hop_size
+    sq = CFG.model.squeeze_factor
+    assert (plan.chunk_frames * hop) % sq == 0
+    assert (plan.halo_frames * hop) % sq == 0
+    assert plan.window_frames == plan.chunk_frames + 2 * plan.halo_frames
+    assert plan.window_frames < plan.total_frames
+    assert plan.n_chunks * plan.chunk_frames >= plan.total_frames
+    # short utterance: one full-length chunk, no halo
+    short = plan_chunks(CFG, 8)
+    assert short == ChunkPlan(8, 0, 8, 1, 8)
+
+
+def test_streaming_matches_full_reverse():
+    """Chunked synthesis must reproduce the one-shot reverse: same seed,
+    same noise stream, interior windows keep only samples >= halo from
+    any window edge."""
+    params = _damped_params(jax.random.PRNGKey(0), CFG.model)
+    rng = np.random.RandomState(1)
+    frames = 64
+    mel = rng.rand(frames, CFG.audio.num_mels).astype(np.float32)
+    hop = CFG.audio.hop_size
+
+    chunks = list(stream_reverse(params, CFG, mel, seed=11, temp=0.7))
+    assert len(chunks) > 3  # actually exercised chunking
+    starts = [s for s, _ in chunks]
+    assert starts[0] == 0
+    assert all(b - a == chunks[0][1].shape[0]
+               for a, b in zip(starts, starts[1:-1]))
+    audio = np.concatenate([a for _, a in chunks])
+
+    z = np.random.RandomState(11).randn(frames * hop).astype(np.float32)
+    z = z * 0.7
+    full = reverse(params, CFG.model, jnp.asarray(z)[None, :, None],
+                   jnp.asarray(mel)[None])
+    full = np.asarray(full[0, :, 0], np.float32)
+
+    assert audio.shape == full.shape
+    scale = np.abs(full).max()
+    np.testing.assert_allclose(audio, full, atol=1e-4 * scale, rtol=0)
+
+
+def test_synthesize_streaming_wrapper():
+    params = _damped_params(jax.random.PRNGKey(2), CFG.model)
+    mel = np.random.RandomState(5).rand(48, CFG.audio.num_mels)
+    a = synthesize_streaming(params, CFG, mel.astype(np.float32), seed=1)
+    assert a.shape == (48 * CFG.audio.hop_size,)
+    assert np.all(np.isfinite(a))
+
+
+def test_empirical_receptive_field_within_halo():
+    """Perturb one z sample / one mel frame in the middle of an utterance
+    and measure how far the output actually changes — the analytic
+    reverse_halo (+ upsampler frames on the mel side) must bound it."""
+    params = _damped_params(jax.random.PRNGKey(4), CFG.model)
+    frames = 48
+    hop = CFG.audio.hop_size
+    T = frames * hop
+    rng = np.random.RandomState(9)
+    mel = rng.rand(frames, CFG.audio.num_mels).astype(np.float32)
+    z = rng.randn(T).astype(np.float32) * 0.7
+
+    def run(zv, mv):
+        out = reverse(params, CFG.model, jnp.asarray(zv)[None, :, None],
+                      jnp.asarray(mv)[None])
+        return np.asarray(out[0, :, 0], np.float32)
+
+    base = run(z, mel)
+    halo = reverse_halo(CFG.model)
+
+    z2 = z.copy()
+    z2[T // 2] += 1.0
+    diff = np.abs(run(z2, mel) - base)
+    hit = np.nonzero(diff > 1e-6 * max(1.0, np.abs(base).max()))[0]
+    assert hit.size  # the perturbation did something
+    assert hit.min() >= T // 2 - halo and hit.max() <= T // 2 + halo, (
+        f"z receptive field [{T//2 - hit.min()}, {hit.max() - T//2}] "
+        f"exceeds analytic halo {halo}")
+
+    m2 = mel.copy()
+    m2[frames // 2] += 1.0
+    diff = np.abs(run(z, m2) - base)
+    hit = np.nonzero(diff > 1e-6 * max(1.0, np.abs(base).max()))[0]
+    assert hit.size
+    mel_halo_samples = halo + (4 + 1) * hop  # +upsampler reach, +own frame
+    lo = frames // 2 * hop - mel_halo_samples
+    hi = (frames // 2 + 1) * hop + mel_halo_samples
+    assert hit.min() >= lo and hit.max() <= hi, (
+        f"mel receptive field [{hit.min()}, {hit.max()}] exceeds "
+        f"[{lo}, {hi}]")
+
+
+def test_streaming_rejects_bad_mel():
+    params = init_flowavenet(jax.random.PRNGKey(0), CFG.model)
+    with pytest.raises(ValueError, match="mel must be"):
+        next(stream_reverse(params, CFG, np.zeros((8, 3), np.float32)))

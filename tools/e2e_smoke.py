@@ -78,6 +78,15 @@ def main() -> None:
     from flowavenet_tpu.audio.wavio import read_wav
     y, wsr = read_wav(os.path.join(out_dir, wavs[0]))
     assert wsr == sr and len(y) > 0 and np.all(np.isfinite(y))
+
+    # 5. the streaming CLI surface on the longest mel (exact chunked path)
+    stream_dir = os.path.join(work, "wav_stream")
+    synth_main(["--saved_dir", os.path.join(logdir, "pretrained"),
+                "--mels_dir", mels_dir, "--output_dir", stream_dir,
+                "--config", "tiny", "--stream", "--chunk_frames", "8"])
+    ys, _ = read_wav(os.path.join(stream_dir, wavs[0]))
+    assert len(ys) > 0 and np.all(np.isfinite(ys))
+
     print(f"SMOKE OK: {len(wavs)} wavs in {out_dir}, "
           f"e.g. {wavs[0]}: {len(y) / sr:.2f}s rms={np.sqrt((y**2).mean()):.3f}")
 
