@@ -105,6 +105,8 @@ class SynthesisService:
         if mel.ndim != 2 or mel.shape[1] != self.cfg.audio.num_mels:
             raise ValueError(
                 f"mel must be [T, {self.cfg.audio.num_mels}], got {mel.shape}")
+        if self._stop.is_set():
+            raise RuntimeError("service closed")
         req = _Request(np.asarray(mel, np.float32), seed, speaker_id, temp)
         self._q.put(req)
         if not req.done.wait(timeout):
@@ -196,8 +198,18 @@ class SynthesisService:
                 r.done.set()
 
     def close(self) -> None:
+        """Stop the pipeline; fail any not-yet-dispatched requests
+        immediately (waiters would otherwise sit out their full submit
+        timeout)."""
         self._stop.set()
         self._done_q.put(None)
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                break
+            r.error = "service closed"
+            r.done.set()
 
 
 def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:

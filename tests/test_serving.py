@@ -249,6 +249,19 @@ def test_service_direct_api():
     svc.close()
 
 
+def test_close_rejects_and_fails_fast():
+    """After close(): new submits raise immediately and queued-but-never-
+    dispatched requests error out instead of sitting out their timeout."""
+    params = init_flowavenet(jax.random.PRNGKey(6), CFG.model)
+    svc = SynthesisService(params, CFG, max_batch=2, batch_window_ms=5.0)
+    mel = np.random.RandomState(2).rand(8, CFG.model.num_mels).astype(
+        np.float32)
+    svc.submit(mel)  # healthy request first
+    svc.close()
+    with pytest.raises(RuntimeError, match="service closed"):
+        svc.submit(mel)
+
+
 def test_service_steady_state_no_retrace():
     """Single-stream serving: after the first request compiles the bucket,
     repeat requests of the SAME shape must hit the jit cache.  Asserted on
