@@ -77,7 +77,8 @@ class SynthesisService:
 
     def __init__(self, params, cfg: Config, *, max_batch: int = 16,
                  batch_window_ms: float = 10.0, bucket_frames: int = 60,
-                 noise: str = "device", pcm16: bool = True):
+                 noise: str = "device", pcm16: bool = True,
+                 max_frames: int = 4000):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -85,6 +86,7 @@ class SynthesisService:
         self.bucket_frames = bucket_frames
         self.noise = noise
         self.pcm16 = pcm16 and noise == "device"
+        self.max_frames = max_frames
         self._q: "queue.Queue[_Request]" = queue.Queue()
         # small bound = backpressure: at most 2 dispatched-but-unread
         # groups in flight so HBM holds a bounded number of result buffers
@@ -105,6 +107,14 @@ class SynthesisService:
         if mel.ndim != 2 or mel.shape[1] != self.cfg.audio.num_mels:
             raise ValueError(
                 f"mel must be [T, {self.cfg.audio.num_mels}], got {mel.shape}")
+        if mel.shape[0] > self.max_frames:
+            # an unbounded length would compile a fresh flagship shape
+            # (minutes) and hold every companion hostage; long-form audio
+            # belongs on the streaming path (synthesis/streaming.py)
+            raise ValueError(
+                f"mel too long: {mel.shape[0]} > max_frames="
+                f"{self.max_frames}; use streaming synthesis for "
+                "long-form audio")
         if self._stop.is_set():
             raise RuntimeError("service closed")
         req = _Request(np.asarray(mel, np.float32), seed, speaker_id, temp)

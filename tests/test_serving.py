@@ -257,6 +257,9 @@ def test_close_rejects_and_fails_fast():
     mel = np.random.RandomState(2).rand(8, CFG.model.num_mels).astype(
         np.float32)
     svc.submit(mel)  # healthy request first
+    with pytest.raises(ValueError, match="mel too long"):
+        svc.submit(np.zeros((svc.max_frames + 1, CFG.model.num_mels),
+                            np.float32))
     svc.close()
     with pytest.raises(RuntimeError, match="service closed"):
         svc.submit(mel)
