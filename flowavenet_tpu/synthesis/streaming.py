@@ -121,9 +121,15 @@ def stream_reverse(params, cfg: Config, mel: np.ndarray,
     t0 = cfg.train.temp if temp is None else float(temp)
     plan = plan_chunks(cfg, mel.shape[0], chunk_frames, halo_frames)
 
-    # one sequential noise stream for the whole utterance, as offline
-    z_full = np.random.RandomState(seed % (2 ** 32)).randn(
-        plan.total_frames * hop).astype(np.float32) * t0
+    # One sequential noise stream for the whole utterance, as offline —
+    # drawn INCREMENTALLY as windows advance (RandomState's gaussian
+    # stream is split-consistent across calls, including its cached
+    # Box-Muller second value), so time-to-first-audio does not pay an
+    # O(length) upfront generation.
+    n_total = plan.total_frames * hop
+    rs = np.random.RandomState(seed % (2 ** 32))
+    z_full = np.empty(n_total, np.float32)
+    z_end = 0
     mel = np.ascontiguousarray(mel[: plan.total_frames], np.float32)
 
     fn = _jitted_reverse(cfg.model, dt)
@@ -134,7 +140,11 @@ def stream_reverse(params, cfg: Config, mel: np.ndarray,
         w0 = min(max(start - plan.halo_frames, 0),
                  plan.total_frames - plan.window_frames)
         c = mel[w0: w0 + plan.window_frames]
-        z = z_full[w0 * hop: (w0 + plan.window_frames) * hop]
+        w_end = (w0 + plan.window_frames) * hop
+        if w_end > z_end:
+            z_full[z_end:w_end] = rs.randn(w_end - z_end) * t0
+            z_end = w_end
+        z = z_full[w0 * hop: w_end]
         wav = fn(params, jnp.asarray(z)[None, :, None],
                  jnp.asarray(c)[None], None)
         wav = np.asarray(wav[0, :, 0].astype(jnp.float32))
