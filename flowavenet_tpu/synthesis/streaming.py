@@ -103,6 +103,7 @@ def stream_reverse(params, cfg: Config, mel: np.ndarray,
                    chunk_frames: Optional[int] = None,
                    halo_frames: Optional[int] = None,
                    compute_dtype=None,
+                   speaker_id: Optional[int] = None,
                    ) -> Iterator[tuple[int, np.ndarray]]:
     """Yield ``(start_sample, float32 audio chunk)`` pairs for one
     [T_mel, num_mels] mel, left to right, exactly reproducing the
@@ -120,6 +121,11 @@ def stream_reverse(params, cfg: Config, mel: np.ndarray,
     hop = cfg.audio.hop_size
     t0 = cfg.train.temp if temp is None else float(temp)
     plan = plan_chunks(cfg, mel.shape[0], chunk_frames, halo_frames)
+    g = None
+    if cfg.model.gin_channels > 0:
+        # global conditioning is pointwise in time — same id every window
+        g = jnp.asarray([0 if speaker_id is None else speaker_id],
+                        jnp.int32)
 
     # One sequential noise stream for the whole utterance, as offline —
     # drawn INCREMENTALLY as windows advance (RandomState's gaussian
@@ -146,7 +152,7 @@ def stream_reverse(params, cfg: Config, mel: np.ndarray,
             z_end = w_end
         z = z_full[w0 * hop: w_end]
         wav = fn(params, jnp.asarray(z)[None, :, None],
-                 jnp.asarray(c)[None], None)
+                 jnp.asarray(c)[None], g)
         wav = np.asarray(wav[0, :, 0].astype(jnp.float32))
         keep0 = (start - w0) * hop
         yield start * hop, wav[keep0: keep0 + (stop - start) * hop]

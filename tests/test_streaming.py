@@ -123,6 +123,32 @@ def test_empirical_receptive_field_within_halo():
         f"[{lo}, {hi}]")
 
 
+def test_streaming_with_speaker_conditioning():
+    """gin models stream too: global conditioning is pointwise in time,
+    so the same speaker id rides every window; chunked == one-shot."""
+    cfg = dataclasses.replace(
+        CFG, model=dataclasses.replace(CFG.model, gin_channels=16,
+                                       n_speakers=4))
+    params = _damped_params(jax.random.PRNGKey(6), cfg.model)
+    rng = np.random.RandomState(21)
+    frames = 64
+    mel = rng.rand(frames, cfg.audio.num_mels).astype(np.float32)
+    hop = cfg.audio.hop_size
+
+    audio = synthesize_streaming(params, cfg, mel, seed=7, temp=0.7,
+                                 speaker_id=2)
+    z = np.random.RandomState(7).randn(frames * hop).astype(np.float32)
+    z = z * 0.7
+    full = reverse(params, cfg.model, jnp.asarray(z)[None, :, None],
+                   jnp.asarray(mel)[None], jnp.asarray([2], jnp.int32))
+    full = np.asarray(full[0, :, 0], np.float32)
+    scale = np.abs(full).max()
+    np.testing.assert_allclose(audio, full, atol=1e-4 * scale, rtol=0)
+    other = synthesize_streaming(params, cfg, mel, seed=7, temp=0.7,
+                                 speaker_id=1)
+    assert not np.allclose(audio, other)
+
+
 def test_streaming_rejects_bad_mel():
     params = init_flowavenet(jax.random.PRNGKey(0), CFG.model)
     with pytest.raises(ValueError, match="mel must be"):
