@@ -10,9 +10,11 @@ the offline synthesize.py CLI).  Design:
   reverse pass per group — shape bucketing keeps the set of compiled
   programs small and throughput at the batched-synthesis rate;
 * deterministic per-request seeds and temperatures: each request's noise is
-  drawn from its own X-Seed at its bucketed length, so the returned audio is
-  bit-identical for the same (mel, seed, temp) regardless of which other
-  requests share the micro-batch (tests/test_serving.py).
+  drawn from its own X-Seed at its bucketed length, so the returned audio
+  depends only on (mel, seed, temp, compiled shape) — bit-identical across
+  micro-batch compositions that land in the same pow2 batch bucket, and
+  numerically equal (different compiled shapes may reassociate reductions)
+  across buckets (tests/test_serving.py).
 
 API:
   POST /synthesize     body = raw float32 .npy of one [T_mel, num_mels] mel
@@ -70,14 +72,14 @@ class SynthesisService:
     seed — same per-(mel, seed, temp) determinism, half the upload bytes;
     pass 'host' to reproduce offline-CLI audio bit-for-bit.
 
-    ``pcm16=True`` (default, device-noise only) quantizes audio to 16-bit
+    ``pcm16`` (auto-on for the device-noise path) quantizes audio to 16-bit
     PCM ON DEVICE: ``submit`` returns int16 samples (exactly the values the
     WAV layer would have produced from float32) and the result readback —
     the dominant per-batch transfer — halves."""
 
     def __init__(self, params, cfg: Config, *, max_batch: int = 16,
                  batch_window_ms: float = 10.0, bucket_frames: int = 60,
-                 noise: str = "device", pcm16: bool = True,
+                 noise: str = "device", pcm16: Optional[bool] = None,
                  max_frames: int = 4000):
         self.params = params
         self.cfg = cfg
@@ -85,8 +87,13 @@ class SynthesisService:
         self.batch_window = batch_window_ms / 1000.0
         self.bucket_frames = bucket_frames
         self.noise = noise
-        self.pcm16 = pcm16 and noise == "device"
+        if pcm16 is None:                  # auto: on for the device path
+            pcm16 = noise == "device"
+        elif pcm16 and noise != "device":  # explicit request we can't honor
+            raise ValueError("pcm16=True requires noise='device'")
+        self.pcm16 = pcm16
         self.max_frames = max_frames
+        self._submit_lock = threading.Lock()
         self._q: "queue.Queue[_Request]" = queue.Queue()
         # small bound = backpressure: at most 2 dispatched-but-unread
         # groups in flight so HBM holds a bounded number of result buffers
@@ -115,10 +122,11 @@ class SynthesisService:
                 f"mel too long: {mel.shape[0]} > max_frames="
                 f"{self.max_frames}; use streaming synthesis for "
                 "long-form audio")
-        if self._stop.is_set():
-            raise RuntimeError("service closed")
         req = _Request(np.asarray(mel, np.float32), seed, speaker_id, temp)
-        self._q.put(req)
+        with self._submit_lock:  # pairs with close(): no put after stop
+            if self._stop.is_set():
+                raise RuntimeError("service closed")
+            self._q.put(req)
         if not req.done.wait(timeout):
             raise TimeoutError("synthesis timed out")
         if req.error:
@@ -134,7 +142,16 @@ class SynthesisService:
                              self.cfg, self.bucket_frames)
 
     def _drain(self) -> list[_Request]:
-        first = self._q.get()
+        """Next micro-batch; [] when woken by close() with nothing queued
+        (so _run can re-check _stop instead of blocking forever)."""
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+                break
+            except queue.Empty:
+                continue
+        else:
+            return []
         batch = [first]
         deadline = time.time() + self.batch_window
         while len(batch) < self.max_batch:
@@ -152,6 +169,8 @@ class SynthesisService:
             try:
                 batch = self._drain()
             except Exception:
+                continue
+            if not batch:
                 continue
             t0 = time.time()
             # Group by bucketed length: within a group the padded length is
@@ -207,19 +226,31 @@ class SynthesisService:
             for r in group:
                 r.done.set()
 
-    def close(self) -> None:
-        """Stop the pipeline; fail any not-yet-dispatched requests
-        immediately (waiters would otherwise sit out their full submit
-        timeout)."""
-        self._stop.set()
-        self._done_q.put(None)
+    def _fail_pending(self) -> None:
+        """Error out every request still in the submit queue."""
         while True:
             try:
                 r = self._q.get_nowait()
             except queue.Empty:
-                break
+                return
             r.error = "service closed"
             r.done.set()
+
+    def close(self) -> None:
+        """Orderly shutdown: no new submits, the in-flight batch finishes
+        and its waiters are woken, queued-but-undispatched requests fail
+        immediately (they would otherwise sit out their submit timeout).
+
+        Sequence matters: the submit lock closes the submit/stop race;
+        the worker is JOINED before the completer's sentinel so any group
+        it dispatched is still materialized; pending requests are failed
+        last, when nothing can requeue.  Idempotent."""
+        with self._submit_lock:
+            self._stop.set()
+        self._worker.join(timeout=60)
+        self._done_q.put(None)
+        self._completer.join(timeout=60)
+        self._fail_pending()
 
 
 def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:

@@ -79,6 +79,10 @@ def plan_chunks(cfg: Config, mel_frames: int,
     halo is aligned and the window's squeeze grouping matches the
     full-utterance one (exactness requirement, see module docstring).
     """
+    if chunk_frames is not None and chunk_frames <= 0:
+        raise ValueError(f"chunk_frames must be positive, got {chunk_frames}")
+    if halo_frames is not None and halo_frames < 0:
+        raise ValueError(f"halo_frames must be >= 0, got {halo_frames}")
     hop = cfg.audio.hop_size
     sq = cfg.model.squeeze_factor
     align = sq // math.gcd(sq, hop)  # frames per aligned boundary
@@ -122,10 +126,12 @@ def stream_reverse(params, cfg: Config, mel: np.ndarray,
     t0 = cfg.train.temp if temp is None else float(temp)
     plan = plan_chunks(cfg, mel.shape[0], chunk_frames, halo_frames)
     g = None
-    if cfg.model.gin_channels > 0:
-        # global conditioning is pointwise in time — same id every window
-        g = jnp.asarray([0 if speaker_id is None else speaker_id],
-                        jnp.int32)
+    if cfg.model.gin_channels > 0 and speaker_id is not None:
+        # global conditioning is pointwise in time — same id every window.
+        # speaker_id=None keeps g=None (the g term is skipped entirely),
+        # matching the one-shot path's speaker_ids=None semantics so
+        # --stream stays exact against it.
+        g = jnp.asarray([speaker_id], jnp.int32)
 
     # One sequential noise stream for the whole utterance, as offline —
     # drawn INCREMENTALLY as windows advance (RandomState's gaussian

@@ -170,7 +170,9 @@ def dispatch_mels(params, cfg: Config, mels: list[np.ndarray],
     if noise == "device":
         s_arr = np.zeros((n_rows,), np.uint32)
         t_arr = np.zeros((n_rows,), np.float32)
-        s_arr[:n] = np.asarray(seeds, np.int64).astype(np.uint32)
+        # mod, not dtype-cast: arbitrary Python ints must keep working
+        # exactly like the host path's `s % 2**32` (overflow-free)
+        s_arr[:n] = [s % (2 ** 32) for s in seeds]
         t_arr[:n] = temps
         wav = _jitted_reverse_devnoise(cfg.model, dt, hop, pcm16)(
             params, jnp.asarray(s_arr), jnp.asarray(t_arr),

@@ -263,6 +263,13 @@ def test_close_rejects_and_fails_fast():
     svc.close()
     with pytest.raises(RuntimeError, match="service closed"):
         svc.submit(mel)
+    # queued-but-undispatched requests are failed, not timed out: with the
+    # worker joined, plant a request directly and re-close (idempotent)
+    from flowavenet_tpu.serving.server import _Request
+    ghost = _Request(mel, 0, None, None)
+    svc._q.put(ghost)
+    svc.close()
+    assert ghost.done.is_set() and ghost.error == "service closed"
 
 
 def test_service_steady_state_no_retrace():

@@ -8,12 +8,18 @@ device-resident inputs.  The delta between the two is the serving tax:
 host<->device transfers (per-batch mel upload + audio download) plus
 queueing.  In THIS environment the device sits behind a stdio-relay
 tunnel, so the transfer term measures the tunnel, not production PCIe;
-the JSON line reports both aggregate throughput and the per-batch device
-occupancy so the two effects are separable.
+the JSON line reports aggregate throughput, request latency, and the
+dispatch-thread utilization (see below).
 
 Prints ONE JSON line:
   {"metric": "serving_khz_per_sec_per_chip", "value": N, "unit": "kHz/s",
-   "vs_baseline": M, "p50_ms": ..., "p99_ms": ..., "busy_frac": ...}
+   "vs_baseline": M, "p50_ms": ..., "p99_ms": ..., "dispatch_frac": ...}
+
+dispatch_frac is the fraction of wall time the DISPATCH thread spends in
+host prep + async dispatch (the service stats' busy_seconds) — NOT device
+occupancy: dispatch returns before the device computes, so a low value
+means the pipeline keeps the worker unblocked, and a value near 1 means
+per-batch host prep itself is the bottleneck (measured at max_batch>=64).
 
 Env knobs: SERVE_CLIENTS (48) | SERVE_SECONDS (30 — measurement window)
 | SERVE_MAX_BATCH (32) | SERVE_UTT_SECONDS (2.0) | SERVE_WINDOW_MS (10)
@@ -75,8 +81,10 @@ def main() -> None:
     # minutes to compile but persists in the jax compilation cache).
     from flowavenet_tpu.synthesis.synthesize import synthesize_mels
     sizes, b = [], 1
-    while b <= max_batch:
+    while True:  # cover the pow2 bucket ABOVE a non-pow2 max_batch too
         sizes.append(b)
+        if b >= max_batch:
+            break
         b *= 2
     for bsz in sizes:
         t0 = time.time()
@@ -126,7 +134,7 @@ def main() -> None:
     khz = total_audio * sr / wall / 1000.0
     print(f"# {len(lat)} requests in {wall:.1f}s | "
           f"{nreq / max(nbatch, 1):.1f} req/batch | "
-          f"device-worker busy {busy / wall:.0%}", file=sys.stderr)
+          f"dispatch thread busy {busy / wall:.0%}", file=sys.stderr)
     print(json.dumps({
         "metric": "serving_khz_per_sec_per_chip",
         "value": round(khz, 2),
@@ -134,7 +142,7 @@ def main() -> None:
         "vs_baseline": round(khz * 1000.0 / sr, 2),
         "p50_ms": round(float(lat[len(lat) // 2]) * 1000, 1),
         "p99_ms": round(float(lat[int(len(lat) * 0.99)]) * 1000, 1),
-        "busy_frac": round(busy / wall, 3),
+        "dispatch_frac": round(busy / wall, 3),
     }))
 
 

@@ -34,6 +34,7 @@ def main() -> None:
     from flowavenet_tpu.config import get_config
     from flowavenet_tpu.models.flowavenet import init_flowavenet
     from flowavenet_tpu.synthesis.streaming import plan_chunks, stream_reverse
+    from flowavenet_tpu.synthesis.synthesize import resolve_compute_dtype
 
     cfg = get_config(os.environ.get("BENCH_CONFIG", "lj22k"))
     utt_s = float(os.environ.get("STREAM_SECONDS", "30"))
@@ -47,9 +48,9 @@ def main() -> None:
     mel = rng.rand(frames, cfg.audio.num_mels).astype(np.float32)
 
     params = init_flowavenet(jax.random.PRNGKey(0), cfg.model)
-    dt = (jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16"
-          else jnp.float32)
-    params = jax.tree.map(lambda a: a.astype(dt), params)
+    dt = resolve_compute_dtype(cfg, None)
+    params = jax.tree.map(
+        lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, params)
 
     plan = plan_chunks(cfg, frames, chunk_frames)
     print(f"# {jax.devices()[0].device_kind} | {utt_s:.0f}s utterance | "
