@@ -96,6 +96,15 @@ class TrainConfig:
     lr_boundaries: tuple[tuple[int, float], ...] = (
         (200_000, 2.0), (400_000, 4.0), (600_000, 6.0))
     grad_clip_norm: float = 1.0
+    # Skip the optimizer apply when the loss or any gradient is non-finite
+    # (params/opt state pass through unchanged; the step counter still
+    # advances and metrics report skipped_nonfinite=1).  Motivated by a
+    # measured flagship divergence: overfit logdet growth produced a NaN
+    # step that poisoned params irrecoverably (docs/benchmarks.md, the
+    # lj22k gate note).  A skipped step is recoverable; NaN params are not.
+    # Cost: XLA fuses the where-selects into the optimizer update — the
+    # flagship b128 train step measured 575.4 vs 574.8 ms (noise-level).
+    skip_nonfinite_updates: bool = True
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8

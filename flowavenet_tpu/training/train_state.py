@@ -58,6 +58,21 @@ def make_train_step(cfg: Config):
         params = optax.apply_updates(state.params, updates)
         metrics = {**aux, "grad_global_norm": grad_norm,
                    "learning_rate": schedule(state.step)}
+        if cfg.train.skip_nonfinite_updates:
+            # one divergent step must not poison the params: pass the old
+            # state through unchanged when the loss or any grad is
+            # non-finite (grad_norm is the global reduction, so a single
+            # NaN/inf leaf trips it).  jnp.where keeps the step fully
+            # compiled — no host round-trip, no lax.cond branch overhead.
+            ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+            params = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old),
+                params, state.params)
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old)
+                if isinstance(new, jax.Array) else new,
+                opt_state, state.opt_state)
+            metrics["skipped_nonfinite"] = 1.0 - ok.astype(jnp.float32)
         return TrainState(state.step + 1, params, opt_state), metrics
 
     return train_step

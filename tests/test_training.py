@@ -96,6 +96,33 @@ def test_train_step_reduces_loss(key, rng):
     assert int(state.step) == 8
 
 
+def test_nonfinite_step_skipped(key, rng):
+    """A poisoned batch (NaN audio -> NaN loss/grads) must leave params
+    and optimizer state untouched and be reported, not poison the run —
+    the flagship divergence regression (docs/benchmarks.md, lj22k gate)."""
+    state = create_state(key, CFG)
+    batch = _batch(rng, CFG)
+    state = ddi_initialize(state, CFG, batch)
+    train_step = jax.jit(make_train_step(CFG))
+    state, m = train_step(state, batch)          # healthy step
+    assert float(m["skipped_nonfinite"]) == 0.0
+
+    bad = dict(batch)
+    bad["audio"] = batch["audio"].copy()
+    bad["audio"][0, 0, 0] = np.nan
+    before = jax.tree.map(np.asarray, state.params)
+    state, m = train_step(state, bad)
+    assert float(m["skipped_nonfinite"]) == 1.0
+    after = jax.tree.map(np.asarray, state.params)
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    assert int(state.step) == 2                  # counter still advances
+
+    state, m = train_step(state, batch)          # and training continues
+    assert float(m["skipped_nonfinite"]) == 0.0
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_train_eval_consistency(key, rng):
     state = create_state(key, CFG)
     batch = _batch(rng, CFG)
