@@ -22,6 +22,15 @@ API:
                                 X-Seed (optional int),
                                 X-Temp (optional float)
                        response = 16-bit PCM WAV bytes
+  POST /synthesize_stream
+                       same body/headers (plus optional X-Chunk-Frames);
+                       any mel length — the response is a progressively
+                       written WAV (exact Content-Length known upfront)
+                       whose first bytes arrive after ONE window's
+                       synthesis (synthesis/streaming.py), so long-form
+                       audio starts playing while the tail is still being
+                       synthesized.  Audio is exact vs the one-shot
+                       reverse at the same (seed, temp).
   GET  /healthz        liveness + model/config info (JSON)
   GET  /stats          serving counters (JSON)
 """
@@ -41,6 +50,7 @@ from typing import Optional
 import numpy as np
 
 from ..config import Config
+from ..synthesis.streaming import plan_chunks, stream_reverse
 from ..synthesis.synthesize import dispatch_mels, materialize_wavs
 
 
@@ -99,8 +109,8 @@ class SynthesisService:
         # groups in flight so HBM holds a bounded number of result buffers
         self._done_q: "queue.Queue" = queue.Queue(maxsize=2)
         self._stop = threading.Event()
-        self.stats = {"requests": 0, "batches": 0, "audio_seconds": 0.0,
-                      "busy_seconds": 0.0}
+        self.stats = {"requests": 0, "batches": 0, "streams": 0,
+                      "audio_seconds": 0.0, "busy_seconds": 0.0}
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
         self._completer = threading.Thread(target=self._complete,
@@ -120,8 +130,8 @@ class SynthesisService:
             # belongs on the streaming path (synthesis/streaming.py)
             raise ValueError(
                 f"mel too long: {mel.shape[0]} > max_frames="
-                f"{self.max_frames}; use streaming synthesis for "
-                "long-form audio")
+                f"{self.max_frames}; use streaming synthesis "
+                "(POST /synthesize_stream) for long-form audio")
         req = _Request(np.asarray(mel, np.float32), seed, speaker_id, temp)
         with self._submit_lock:  # pairs with close(): no put after stop
             if self._stop.is_set():
@@ -132,6 +142,46 @@ class SynthesisService:
         if req.error:
             raise RuntimeError(req.error)
         return req.wav
+
+    def stream(self, mel: np.ndarray, seed: int = 0,
+               speaker_id: Optional[int] = None,
+               temp: Optional[float] = None,
+               chunk_frames: Optional[int] = None):
+        """Streaming synthesis of ONE mel of any length: returns
+        ``(n_samples, chunks)`` where ``n_samples`` is the exact total
+        sample count (known upfront from the chunk plan, so an HTTP
+        response can carry a correct Content-Length) and ``chunks``
+        yields 16-bit little-endian PCM byte blocks left to right.
+
+        Runs on the caller's thread: each window is its own jitted
+        dispatch (synthesis/streaming.py), so windows interleave at the
+        device queue with the worker's micro-batches instead of blocking
+        them for the whole utterance.  Speaker default matches
+        ``submit``: gin models fall back to speaker 0."""
+        if mel.ndim != 2 or mel.shape[1] != self.cfg.audio.num_mels:
+            raise ValueError(
+                f"mel must be [T, {self.cfg.audio.num_mels}], got {mel.shape}")
+        if self._stop.is_set():
+            raise RuntimeError("service closed")
+        if self.cfg.model.gin_channels > 0 and speaker_id is None:
+            speaker_id = 0
+        plan = plan_chunks(self.cfg, mel.shape[0], chunk_frames)
+        n_samples = plan.total_frames * self.cfg.audio.hop_size
+
+        def chunks():
+            self.stats["streams"] += 1
+            t0 = time.time()
+            for _, audio in stream_reverse(
+                    self.params, self.cfg, mel, seed=seed, temp=temp,
+                    chunk_frames=chunk_frames, speaker_id=speaker_id):
+                if self._stop.is_set():
+                    raise RuntimeError("service closed")
+                yield _pcm16(audio).tobytes()
+            self.stats["audio_seconds"] += (
+                n_samples / self.cfg.audio.sample_rate)
+            self.stats["busy_seconds"] += time.time() - t0
+
+        return n_samples, chunks()
 
     def _bucket_key(self, mel: np.ndarray) -> int:
         """Padded frame count this mel will synthesize at (the group key).
@@ -253,19 +303,34 @@ class SynthesisService:
         self._fail_pending()
 
 
+def _pcm16(audio: np.ndarray) -> np.ndarray:
+    """float32 [-1, 1] -> little-endian int16, the same quantization the
+    device pcm16 path applies (synthesize.py)."""
+    if audio.dtype == np.int16:  # already PCM-quantized on device
+        return audio.astype("<i2", copy=False)
+    return np.clip(np.rint(audio * 32768.0), -32768, 32767).astype("<i2")
+
+
 def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        if audio.dtype == np.int16:  # already PCM-quantized on device
-            pcm = audio.astype("<i2", copy=False)
-        else:
-            pcm = np.clip(np.rint(audio * 32768.0),
-                          -32768, 32767).astype("<i2")
-        w.writeframes(pcm.tobytes())
+        w.writeframes(_pcm16(audio).tobytes())
     return buf.getvalue()
+
+
+def _wav_header(n_samples: int, sample_rate: int) -> bytes:
+    """The canonical 44-byte mono 16-bit RIFF header for a known-length
+    stream — byte-identical to what the wave module emits, but writable
+    BEFORE the audio exists (progressive responses)."""
+    import struct
+    data = n_samples * 2
+    return (b"RIFF" + struct.pack("<I", 36 + data) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                          sample_rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", data))
 
 
 def make_handler(service: SynthesisService):
@@ -297,8 +362,11 @@ def make_handler(service: SynthesisService):
                 self._json(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/synthesize":
+            if self.path not in ("/synthesize", "/synthesize_stream"):
                 self._json(404, {"error": "unknown path"})
+                return
+            if self.path == "/synthesize_stream":
+                self._stream()
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
@@ -323,6 +391,46 @@ def make_handler(service: SynthesisService):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _stream(self):
+            """Progressive WAV: validation and chunk planning happen
+            BEFORE headers go out (errors still get proper statuses);
+            after that every synthesized window is flushed to the socket
+            immediately, so the client hears audio after one window.  A
+            mid-stream failure can only truncate the body (the client
+            sees fewer bytes than Content-Length), never corrupt it."""
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                mel = np.load(io.BytesIO(self.rfile.read(length)),
+                              allow_pickle=False)
+                seed = int(self.headers.get("X-Seed", "0"))
+                sid = self.headers.get("X-Speaker-Id")
+                temp = self.headers.get("X-Temp")
+                chunk = self.headers.get("X-Chunk-Frames")
+                n_samples, chunks = service.stream(
+                    mel, seed=seed,
+                    speaker_id=int(sid) if sid is not None else None,
+                    temp=float(temp) if temp is not None else None,
+                    chunk_frames=int(chunk) if chunk is not None else None)
+            except (ValueError, KeyError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            except Exception as e:
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(44 + 2 * n_samples))
+            self.end_headers()
+            self.wfile.write(_wav_header(n_samples, cfg.audio.sample_rate))
+            try:
+                for block in chunks:
+                    self.wfile.write(block)
+                    self.wfile.flush()
+            except Exception:
+                # headers are already on the wire: closing short is the
+                # only honest signal left
+                self.close_connection = True
 
     return Handler
 

@@ -297,3 +297,87 @@ def test_service_steady_state_no_retrace():
     assert fn._cache_size() == warm_cache, \
         "same-shape requests must not retrace/recompile the reverse"
     svc.close()
+
+
+def test_synthesize_stream_roundtrip(server):
+    """POST /synthesize_stream: any-length mels stream back as a
+    progressive WAV that is byte-identical to _wav_bytes(
+    synthesize_streaming(...)) at the same (seed, temp) — the correct
+    Content-Length is on the wire before any audio is synthesized."""
+    from flowavenet_tpu.serving.server import _wav_bytes
+    from flowavenet_tpu.synthesis.streaming import synthesize_streaming
+
+    rng = np.random.RandomState(21)
+    frames = 64  # multiple windows under the tiny config's chunk plan
+    mel = rng.rand(frames, CFG.model.num_mels).astype(np.float32)
+    buf = io.BytesIO(); np.save(buf, mel)
+    body = buf.getvalue()
+
+    c = _conn(server)
+    c.request("POST", "/synthesize_stream", body=body,
+              headers={"Content-Length": str(len(body)), "X-Seed": "5",
+                       "X-Temp": "0.7"})
+    r = c.getresponse()
+    assert r.status == 200
+    assert r.getheader("Content-Type") == "audio/wav"
+    data = r.read()
+    assert len(data) == int(r.getheader("Content-Length"))
+    assert len(data) == 44 + 2 * frames * CFG.audio.hop_size
+
+    ref = synthesize_streaming(server.service.params, CFG, mel,
+                               seed=5, temp=0.7)
+    assert data == _wav_bytes(ref, CFG.audio.sample_rate)
+    assert server.service.stats["streams"] >= 1
+
+
+def test_synthesize_stream_rejects_before_headers(server):
+    """Validation failures on the streaming path must still produce a
+    proper 400 (errors are only unreportable AFTER headers go out)."""
+    rng = np.random.RandomState(0)
+    bad = rng.rand(8, 3).astype(np.float32)  # wrong mel bins
+    buf = io.BytesIO(); np.save(buf, bad)
+    body = buf.getvalue()
+    c = _conn(server)
+    c.request("POST", "/synthesize_stream", body=body,
+              headers={"Content-Length": str(len(body))})
+    r = c.getresponse()
+    assert r.status == 400
+    assert b"mel must be" in r.read()
+
+    c = _conn(server)
+    buf = io.BytesIO(); np.save(buf, _np_mel_8())
+    body = buf.getvalue()
+    c.request("POST", "/synthesize_stream", body=body,
+              headers={"Content-Length": str(len(body)),
+                       "X-Chunk-Frames": "-3"})
+    r = c.getresponse()
+    assert r.status == 400
+    assert b"chunk_frames" in r.read()
+
+
+def _np_mel_8():
+    return np.random.RandomState(3).rand(
+        8, CFG.model.num_mels).astype(np.float32)
+
+
+def test_service_stream_direct_api():
+    """SynthesisService.stream(): exact sample count upfront, PCM chunks
+    concatenate to the quantized synthesize_streaming audio, and the
+    closed service refuses new streams."""
+    from flowavenet_tpu.serving.server import _pcm16
+    from flowavenet_tpu.synthesis.streaming import synthesize_streaming
+
+    params = init_flowavenet(jax.random.PRNGKey(8), CFG.model)
+    svc = SynthesisService(params, CFG, max_batch=2, batch_window_ms=5.0)
+    rng = np.random.RandomState(23)
+    mel = rng.rand(64, CFG.model.num_mels).astype(np.float32)
+    n, chunks = svc.stream(mel, seed=3)
+    pcm = b"".join(chunks)
+    assert n == 64 * CFG.audio.hop_size and len(pcm) == 2 * n
+    ref = synthesize_streaming(params, CFG, mel, seed=3)
+    assert pcm == _pcm16(ref).tobytes()
+    with pytest.raises(ValueError, match="mel must be"):
+        svc.stream(rng.rand(8, 3).astype(np.float32))
+    svc.close()
+    with pytest.raises(RuntimeError, match="service closed"):
+        svc.stream(mel)
