@@ -90,9 +90,30 @@ class SynthesisService:
     def __init__(self, params, cfg: Config, *, max_batch: int = 16,
                  batch_window_ms: float = 10.0, bucket_frames: int = 60,
                  noise: str = "device", pcm16: Optional[bool] = None,
-                 max_frames: int = 4000):
+                 max_frames: int = 4000, mesh=None):
         self.params = params
         self.cfg = cfg
+        self._data_sharding = None
+        self._batch_multiple = 1
+        if mesh is not None:
+            # Batch-parallel serving over a jax.sharding.Mesh: params are
+            # placed once (replicated, big cond convs TP-sharded) and every
+            # micro-batch lands sharded over the data axis — the SAME
+            # jitted reverse then runs SPMD (parallel/mesh.py, and
+            # tests/test_parallel.py::test_sharded_reverse_matches_single_
+            # device for the numerics).  Batch rows are rounded up to the
+            # data extent so every device gets whole rows.
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel.mesh import param_sharding
+            mesh_cfg = cfg.mesh
+            self.params = jax.device_put(
+                params, param_sharding(params, mesh, mesh_cfg))
+            self._data_sharding = NamedSharding(
+                mesh, PartitionSpec(mesh_cfg.data_axis))
+            self._replicated = NamedSharding(mesh, PartitionSpec())
+            self._batch_multiple = mesh.shape[mesh_cfg.data_axis]
+        self.mesh = mesh
         self.max_batch = max_batch
         self.batch_window = batch_window_ms / 1000.0
         self.bucket_frames = bucket_frames
@@ -168,12 +189,19 @@ class SynthesisService:
         plan = plan_chunks(self.cfg, mel.shape[0], chunk_frames)
         n_samples = plan.total_frames * self.cfg.audio.hop_size
 
+        put = None
+        if self.mesh is not None:
+            # params live on the mesh: replicate the batch-1 windows there
+            import jax
+            put = lambda a: jax.device_put(a, self._replicated)  # noqa: E731
+
         def chunks():
             self.stats["streams"] += 1
             t0 = time.time()
             for _, audio in stream_reverse(
                     self.params, self.cfg, mel, seed=seed, temp=temp,
-                    chunk_frames=chunk_frames, speaker_id=speaker_id):
+                    chunk_frames=chunk_frames, speaker_id=speaker_id,
+                    put=put):
                 if self._stop.is_set():
                     raise RuntimeError("service closed")
                 yield _pcm16(audio).tobytes()
@@ -245,7 +273,9 @@ class SynthesisService:
                         # powers of two so a new group size never
                         # recompiles the reverse (see synthesize_mels)
                         pad_batch=True,
-                        noise=self.noise, pcm16=self.pcm16)
+                        noise=self.noise, pcm16=self.pcm16,
+                        data_sharding=self._data_sharding,
+                        batch_multiple=self._batch_multiple)
                     # hand the un-materialized result to the completion
                     # thread; blocks only when 2 groups are already in
                     # flight (backpressure)
@@ -355,6 +385,7 @@ def make_handler(service: SynthesisService):
                     "model": f"{cfg.model.n_block}x{cfg.model.n_flow}",
                     "sample_rate": cfg.audio.sample_rate,
                     "num_mels": cfg.audio.num_mels,
+                    "data_parallel": service._batch_multiple,
                 })
             elif self.path == "/stats":
                 self._json(200, service.stats)
@@ -457,13 +488,27 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8800)
     p.add_argument("--max_batch", type=int, default=16)
     p.add_argument("--batch_window_ms", type=float, default=10.0)
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard each micro-batch over this many devices "
+                        "(0 = single device; -1 = all local devices)")
     args = p.parse_args(argv)
 
     cfg = get_config(args.config)
     params, step = load_params(args.saved_dir, cfg)
+    mesh = None
+    if args.data_parallel:
+        import dataclasses
+
+        import jax
+
+        from ..parallel.mesh import make_mesh
+        devs = jax.devices()
+        n = len(devs) if args.data_parallel < 0 else args.data_parallel
+        mesh = make_mesh(dataclasses.replace(cfg.mesh, data_parallel=n),
+                         devices=devs[:n])
     httpd = serve(params, cfg, args.host, args.port,
                   max_batch=args.max_batch,
-                  batch_window_ms=args.batch_window_ms)
+                  batch_window_ms=args.batch_window_ms, mesh=mesh)
     print(f"serving step-{step} model on http://{args.host}:{args.port}")
     httpd.serve_forever()
 

@@ -108,6 +108,7 @@ def stream_reverse(params, cfg: Config, mel: np.ndarray,
                    halo_frames: Optional[int] = None,
                    compute_dtype=None,
                    speaker_id: Optional[int] = None,
+                   put=None,
                    ) -> Iterator[tuple[int, np.ndarray]]:
     """Yield ``(start_sample, float32 audio chunk)`` pairs for one
     [T_mel, num_mels] mel, left to right, exactly reproducing the
@@ -117,6 +118,11 @@ def stream_reverse(params, cfg: Config, mel: np.ndarray,
     offline path draws (one sequential generation, sliced per window),
     so concatenating the chunks is bit-comparable to
     ``synthesize_mels(..., bucket_frames=1)`` on an aligned length.
+
+    ``put`` (optional callable) is applied to every device input before
+    the jitted call — serving uses it to replicate batch-1 windows onto
+    a multi-device mesh whose params are already placed there (mixed
+    placements would otherwise fail to dispatch).
     """
     if mel.ndim != 2 or mel.shape[1] != cfg.audio.num_mels:
         raise ValueError(
@@ -132,6 +138,8 @@ def stream_reverse(params, cfg: Config, mel: np.ndarray,
         # matching the one-shot path's speaker_ids=None semantics so
         # --stream stays exact against it.
         g = jnp.asarray([speaker_id], jnp.int32)
+    if put is not None and g is not None:
+        g = put(g)
 
     # One sequential noise stream for the whole utterance, as offline —
     # drawn INCREMENTALLY as windows advance (RandomState's gaussian
@@ -157,8 +165,11 @@ def stream_reverse(params, cfg: Config, mel: np.ndarray,
             z_full[z_end:w_end] = rs.randn(w_end - z_end) * t0
             z_end = w_end
         z = z_full[w0 * hop: w_end]
-        wav = fn(params, jnp.asarray(z)[None, :, None],
-                 jnp.asarray(c)[None], g)
+        zj = jnp.asarray(z)[None, :, None]
+        cj = jnp.asarray(c)[None]
+        if put is not None:
+            zj, cj = put(zj), put(cj)
+        wav = fn(params, zj, cj, g)
         wav = np.asarray(wav[0, :, 0].astype(jnp.float32))
         keep0 = (start - w0) * hop
         yield start * hop, wav[keep0: keep0 + (stop - start) * hop]

@@ -123,7 +123,9 @@ def dispatch_mels(params, cfg: Config, mels: list[np.ndarray],
                   bucket_frames: int = 60,
                   pad_batch: bool = False,
                   noise: str = "host",
-                  pcm16: bool = False):
+                  pcm16: bool = False,
+                  data_sharding=None,
+                  batch_multiple: int = 1):
     """Asynchronously dispatch one batched reverse pass; returns
     ``(wav_device_array, frames)`` WITHOUT blocking on the device.
 
@@ -137,6 +139,13 @@ def dispatch_mels(params, cfg: Config, mels: list[np.ndarray],
     but equally seed-deterministic stream, and half the upload bytes.
     ``pcm16`` (device-noise path only) quantizes to 16-bit PCM on device,
     halving the result readback; rows come back int16.
+
+    ``data_sharding`` (a ``NamedSharding`` over a data-parallel mesh axis)
+    batch-parallelizes the reverse across devices: every batch-leading
+    input lands sharded and GSPMD partitions the SAME jitted reverse —
+    params should already be placed with ``parallel.param_sharding``.
+    ``batch_multiple`` rounds the (possibly pow2-padded) row count up to
+    a multiple of the mesh's data extent so every device gets whole rows.
     """
     if noise not in ("host", "device"):
         raise ValueError(f"noise must be 'host' or 'device', got {noise!r}")
@@ -158,14 +167,23 @@ def dispatch_mels(params, cfg: Config, mels: list[np.ndarray],
     pad_frames = padded_frames(max(frames), cfg, bucket_frames)
 
     n_rows = 1 << (n - 1).bit_length() if pad_batch else n
+    if batch_multiple > 1:
+        n_rows = -(-n_rows // batch_multiple) * batch_multiple
     batch = np.zeros((n_rows, pad_frames, cfg.audio.num_mels), np.float32)
     for i, m in enumerate(mels):
         batch[i, : frames[i]] = m[: frames[i]]
+
+    if data_sharding is None:
+        put = jnp.asarray
+    else:
+        def put(a):
+            return jax.device_put(np.asarray(a), data_sharding)
 
     g = None
     if cfg.model.gin_channels > 0 and speaker_ids is not None:
         g = np.zeros((n_rows,), np.int32)
         g[:n] = np.asarray(speaker_ids, np.int32)
+        g = put(g)
 
     if noise == "device":
         s_arr = np.zeros((n_rows,), np.uint32)
@@ -175,15 +193,14 @@ def dispatch_mels(params, cfg: Config, mels: list[np.ndarray],
         s_arr[:n] = [s % (2 ** 32) for s in seeds]
         t_arr[:n] = temps
         wav = _jitted_reverse_devnoise(cfg.model, dt, hop, pcm16)(
-            params, jnp.asarray(s_arr), jnp.asarray(t_arr),
-            jnp.asarray(batch), g)
+            params, put(s_arr), put(t_arr), put(batch), g)
     else:
         z = np.zeros((n_rows, pad_frames * hop, 1), np.float32)
         for i, (s, t) in enumerate(zip(seeds, temps)):
             z[i, :, 0] = np.random.RandomState(s % (2 ** 32)).randn(
                 pad_frames * hop) * t
         wav = _jitted_reverse(cfg.model, dt)(
-            params, jnp.asarray(z), jnp.asarray(batch), g)
+            params, put(z), put(batch), g)
     return wav, frames
 
 
