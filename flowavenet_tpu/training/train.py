@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import argparse
 import os
+import signal
+import threading
 import time
 
 import jax
@@ -148,6 +150,18 @@ def train(cfg: Config, data_dir: str, logdir: str, *, restore: bool = True,
                          out_shardings=(st_sharding, None))
     eval_step = jax.jit(make_eval_step(cfg))
 
+    # Preemption: SIGTERM (what TPU maintenance / batch schedulers send)
+    # finishes the in-flight step, checkpoints, and exits cleanly — the
+    # deterministic-resume machinery then continues the run bit-exactly.
+    # Signal handlers only install from the main thread; library callers
+    # on worker threads keep default delivery.  On a pod the scheduler
+    # signals every process, so each breaks at the same step boundary.
+    preempt = threading.Event()
+    prev_handler = None
+    if threading.current_thread() is threading.main_thread():
+        prev_handler = signal.signal(
+            signal.SIGTERM, lambda signum, frame: preempt.set())
+
     # ---- loop (train.py:233-257) ---------------------------------------
     with mesh:
         step = start_step
@@ -186,7 +200,8 @@ def train(cfg: Config, data_dir: str, logdir: str, *, restore: bool = True,
                         test_writer.scalars(step, eval_metrics)
                 print()
 
-            if step % checkpoint_interval == 0 or step == train_steps:
+            if (step % checkpoint_interval == 0 or step == train_steps
+                    or preempt.is_set()):
                 # params/opt are replicated (or addressable-shard-complete
                 # on a single host), so device_get is process-local; only
                 # the lead process writes.
@@ -194,10 +209,19 @@ def train(cfg: Config, data_dir: str, logdir: str, *, restore: bool = True,
                     save_checkpoint(save_dir, step, jax.device_get(state),
                                     extra_meta={"loader": loader})
 
+            if preempt.is_set():
+                if profiling:
+                    jax.profiler.stop_trace()
+                print(f"\nSIGTERM: checkpointed step {step}, exiting "
+                      "(resume restores this run bit-exactly)")
+                break
+
             if probe_synthesis and step % eval_interval == 0 \
                     and jax.process_index() == 0:
                 _synthesis_probe(state, cfg, data_dir, writer, step,
                                  tb=tb)
+    if prev_handler is not None:
+        signal.signal(signal.SIGTERM, prev_handler)
     print()
     return save_dir
 

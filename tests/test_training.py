@@ -254,3 +254,75 @@ def test_remat_train_step_matches(key, rng):
                                rtol=1e-6)
     np.testing.assert_allclose(float(m_a["grad_global_norm"]),
                                float(m_b["grad_global_norm"]), rtol=1e-4)
+
+
+def test_sigterm_checkpoints_and_exits_cleanly(tmp_path):
+    """Preemption (SURVEY §5.3): SIGTERM mid-run must finish the in-flight
+    step, write a checkpoint, and exit 0 — and the checkpoint must be
+    resumable.  Run in a subprocess so the signal exercises the real
+    handler installation in train()."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    from flowavenet_tpu.checkpoint.checkpoint import latest_checkpoint
+    from flowavenet_tpu.data.records import FwRecordWriter
+    from flowavenet_tpu.training.train import train
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    r = np.random.RandomState(0)
+    hop = CFG.audio.hop_size
+    with FwRecordWriter(str(data_dir / "train.fwrec")) as w:
+        for _ in range(2):
+            w.write(r.randn(40 * hop).astype(np.float32),
+                    r.rand(40, CFG.model.num_mels).astype(np.float32))
+    logdir = tmp_path / "logs"
+
+    script = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+from flowavenet_tpu.config import tiny
+from flowavenet_tpu.training.train import train
+train(tiny(), {str(data_dir)!r}, {str(logdir)!r}, train_steps=100000,
+      checkpoint_interval=10**6, summary_interval=1, eval_interval=10**6,
+      probe_synthesis=False)
+"""
+    p = subprocess.Popen([sys.executable, "-c", script],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True)
+    # wait for >=2 completed steps (summary_interval=1 -> one JSONL row
+    # per step), then preempt
+    metrics = logdir / "train" / "metrics.jsonl"
+    deadline = _time.time() + 180
+    try:
+        while _time.time() < deadline:
+            if metrics.exists() and len(metrics.read_text().splitlines()) >= 2:
+                break
+            if p.poll() is not None:
+                break
+            _time.sleep(0.25)
+        else:
+            raise AssertionError("training subprocess made no progress")
+        assert p.poll() is None, f"training died early:\n{p.stdout.read()}"
+        p.send_signal(signal.SIGTERM)
+        out, _ = p.communicate(timeout=120)
+    finally:
+        if p.poll() is None:
+            p.kill()
+    assert p.returncode == 0, f"non-zero exit after SIGTERM:\n{out}"
+    assert "SIGTERM: checkpointed step" in out
+
+    save_dir = str(logdir / "pretrained")
+    ckpt = latest_checkpoint(save_dir)
+    assert ckpt is not None, "preemption wrote no checkpoint"
+    import re
+    step = int(re.search(r"(\d+)", os.path.basename(ckpt)).group(1))
+    assert step >= 2  # only the preemption path could have written it
+
+    # the checkpoint resumes: two more steps in-process
+    train(CFG, str(data_dir), str(logdir), train_steps=step + 2,
+          checkpoint_interval=step + 2, summary_interval=10**6,
+          eval_interval=10**6, probe_synthesis=False)
+    assert latest_checkpoint(save_dir) != ckpt
