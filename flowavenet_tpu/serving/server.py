@@ -30,7 +30,12 @@ API:
                        synthesis (synthesis/streaming.py), so long-form
                        audio starts playing while the tail is still being
                        synthesized.  Audio is exact vs the one-shot
-                       reverse at the same (seed, temp).
+                       reverse at the same (seed, temp) on the
+                       quality-exact route; under the int8 kernels
+                       (FWN_INT8, TPU default) window-local activation
+                       scales differ from the full-length run's, a
+                       deviation measured AT the bf16 reduction-reorder
+                       noise floor (docs/benchmarks.md int8 gate).
   GET  /healthz        liveness + model/config info (JSON)
   GET  /stats          serving counters (JSON)
 """
@@ -130,6 +135,7 @@ class SynthesisService:
         # groups in flight so HBM holds a bounded number of result buffers
         self._done_q: "queue.Queue" = queue.Queue(maxsize=2)
         self._stop = threading.Event()
+        self._inflight: list = []
         self.stats = {"requests": 0, "batches": 0, "streams": 0,
                       "audio_seconds": 0.0, "busy_seconds": 0.0}
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -250,6 +256,7 @@ class SynthesisService:
                 continue
             if not batch:
                 continue
+            self._inflight = batch  # close() fails these if we outlive it
             t0 = time.time()
             # Group by bucketed length: within a group the padded length is
             # the group key itself, and dispatch_mels draws each item's
@@ -287,6 +294,7 @@ class SynthesisService:
             self.stats["requests"] += len(batch)
             self.stats["batches"] += 1
             self.stats["busy_seconds"] += time.time() - t0
+            self._inflight = []
 
     def _complete(self) -> None:
         while True:
@@ -324,12 +332,26 @@ class SynthesisService:
         Sequence matters: the submit lock closes the submit/stop race;
         the worker is JOINED before the completer's sentinel so any group
         it dispatched is still materialized; pending requests are failed
-        last, when nothing can requeue.  Idempotent."""
+        last, when nothing can requeue.  Idempotent.
+
+        The worker join is generous (a first-request flagship dispatch
+        can sit in a minutes-long compile) but bounded: if the worker
+        outlives it (wedged device), its in-flight requests are failed
+        NOW instead of sitting out their full submit timeout, and the
+        completer is left running (daemon) so a late-arriving result is
+        still consumed rather than deadlocking the worker on the bounded
+        done queue."""
         with self._submit_lock:
             self._stop.set()
-        self._worker.join(timeout=60)
-        self._done_q.put(None)
-        self._completer.join(timeout=60)
+        self._worker.join(timeout=600)
+        if self._worker.is_alive():
+            for r in self._inflight:
+                if not r.done.is_set():
+                    r.error = "service closed during dispatch"
+                    r.done.set()
+        else:
+            self._done_q.put(None)
+            self._completer.join(timeout=60)
         self._fail_pending()
 
 

@@ -11,7 +11,13 @@ the reference's one-shot synthesize.py (synthesize.py:10-49) cannot do:
 * slide a fixed-size window over the utterance, synthesize each window,
   and keep only the center — interior samples match the full-utterance
   reverse to compiled-shape numerics (tests/test_streaming.py asserts
-  bit-equality on TPU-shaped CPU runs at tolerance 0);
+  bit-equality on TPU-shaped CPU runs at tolerance 0).  That exactness
+  statement is about the quality-exact route; the int8 kernel route
+  (FWN_INT8, TPU default) computes max-abs activation scales over
+  window/tile extents, so a streamed window's codes can differ from the
+  full-length run's — a deviation measured at the bf16
+  reduction-reorder noise floor (docs/benchmarks.md int8 gate), not an
+  audible seam;
 * ONE compiled shape serves ANY utterance length (no length buckets at
   all), and HBM stays bounded by the window, not the utterance;
 * time-to-first-audio is one window's synthesis, independent of total
@@ -53,8 +59,16 @@ from .synthesize import _jitted_reverse, _usable_frames, resolve_compute_dtype
 def reverse_halo(m: ModelConfig) -> int:
     """One-sided receptive-field extent of reverse() in AUDIO samples
     (z and upsampled-conditioning reach; mel-frame reach is this / hop
-    plus the upsampler's own +4 frames)."""
+    plus the upsampler's own +4 frames).
+
+    Causal convs left-pad the FULL kernel extent (2*d per conv,
+    ops/conv.py) instead of d per side, so their one-sided reach — all
+    of it to the left — is exactly twice the symmetric case; the
+    symmetric window then over-covers on the right, which costs a little
+    compute but keeps exactness."""
     rf_flow = 1 + (3 ** m.n_layer - 1) // 2
+    if m.causal:
+        rf_flow *= 2
     return m.n_flow * rf_flow * (2 ** (m.n_block + 1) - 2)
 
 

@@ -14,6 +14,7 @@ Reference surface: /root/reference/train.py:153-278.  TPU-native changes:
 from __future__ import annotations
 
 import argparse
+import contextlib
 import os
 import signal
 import threading
@@ -34,6 +35,17 @@ from ..parallel.multihost import (host_batch_slice, initialize_distributed,
 from .metrics import MetricsWriter, format_step
 from .train_state import (TrainState, create_state, ddi_initialize,
                           make_eval_step, make_train_step)
+
+
+@contextlib.contextmanager
+def _restore_sigterm(prev_handler):
+    """Reinstate the pre-train() SIGTERM disposition on ANY exit —
+    a crashed run must not leave the process swallowing SIGTERM."""
+    try:
+        yield
+    finally:
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
 
 
 def state_sharding(state: TrainState, mesh, mesh_cfg):
@@ -163,7 +175,7 @@ def train(cfg: Config, data_dir: str, logdir: str, *, restore: bool = True,
             signal.SIGTERM, lambda signum, frame: preempt.set())
 
     # ---- loop (train.py:233-257) ---------------------------------------
-    with mesh:
+    with mesh, _restore_sigterm(prev_handler):
         step = start_step
         data_iter = dataset.iterate(start_step=start_step)
         profiling = False
@@ -200,8 +212,11 @@ def train(cfg: Config, data_dir: str, logdir: str, *, restore: bool = True,
                         test_writer.scalars(step, eval_metrics)
                 print()
 
+            # one read per iteration: a signal landing between a split
+            # checkpoint-check and break-check would exit WITHOUT saving
+            preempted = preempt.is_set()
             if (step % checkpoint_interval == 0 or step == train_steps
-                    or preempt.is_set()):
+                    or preempted):
                 # params/opt are replicated (or addressable-shard-complete
                 # on a single host), so device_get is process-local; only
                 # the lead process writes.
@@ -209,7 +224,7 @@ def train(cfg: Config, data_dir: str, logdir: str, *, restore: bool = True,
                     save_checkpoint(save_dir, step, jax.device_get(state),
                                     extra_meta={"loader": loader})
 
-            if preempt.is_set():
+            if preempted:
                 if profiling:
                     jax.profiler.stop_trace()
                 print(f"\nSIGTERM: checkpointed step {step}, exiting "
@@ -220,8 +235,6 @@ def train(cfg: Config, data_dir: str, logdir: str, *, restore: bool = True,
                     and jax.process_index() == 0:
                 _synthesis_probe(state, cfg, data_dir, writer, step,
                                  tb=tb)
-    if prev_handler is not None:
-        signal.signal(signal.SIGTERM, prev_handler)
     print()
     return save_dir
 

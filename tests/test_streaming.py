@@ -153,3 +153,34 @@ def test_streaming_rejects_bad_mel():
     params = init_flowavenet(jax.random.PRNGKey(0), CFG.model)
     with pytest.raises(ValueError, match="mel must be"):
         next(stream_reverse(params, CFG, np.zeros((8, 3), np.float32)))
+
+
+def test_streaming_matches_full_reverse_causal():
+    """Causal convs put their WHOLE receptive field to the left (left-pad
+    2*d, ops/conv.py), twice the symmetric one-sided reach — reverse_halo
+    must account for it or chunk boundaries seam.  Same exactness
+    contract as the non-causal test, on a causal config."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, model=dataclasses.replace(
+        CFG.model, causal=True))
+    assert reverse_halo(cfg.model) == 2 * reverse_halo(CFG.model)
+
+    params = _damped_params(jax.random.PRNGKey(6), cfg.model)
+    rng = np.random.RandomState(17)
+    frames = 96  # causal halo doubles, so a longer clip keeps >1 chunk
+    mel = rng.rand(frames, cfg.audio.num_mels).astype(np.float32)
+    hop = cfg.audio.hop_size
+
+    chunks = list(stream_reverse(params, cfg, mel, seed=13, temp=0.7))
+    assert len(chunks) > 1
+    audio = np.concatenate([a for _, a in chunks])
+
+    z = np.random.RandomState(13).randn(frames * hop).astype(np.float32)
+    z = z * 0.7
+    full = reverse(params, cfg.model, jnp.asarray(z)[None, :, None],
+                   jnp.asarray(mel)[None])
+    full = np.asarray(full[0, :, 0], np.float32)
+    assert audio.shape == full.shape
+    scale = np.abs(full).max()
+    np.testing.assert_allclose(audio, full, atol=1e-4 * scale, rtol=0)
