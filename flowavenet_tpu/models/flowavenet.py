@@ -554,10 +554,13 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
     this index array to compensate (see squeeze_level_cond_perm).
 
     ``c_scales=(s_a, s_b)``: the c halves are PRE-quantized int8 views
-    with these global activation scales (one quantization pass in
-    ``reverse`` shared by every block) — folded into the int8 kernels'
-    cond weight scales; the deep-block scan path receives them as the
-    (q, scale) tuples its int8 cond matmuls expect."""
+    with these PER-ROW ([B, 1, 1]) activation scales (one quantization
+    pass in ``reverse`` shared by every block) — handed to the int8
+    kernels as a per-row SMEM operand; the deep-block scan path receives
+    them inside the (q, scale) tuples its int8 cond matmuls expect.
+    Per-row (not per-tensor) scales keep each batch row's audio
+    independent of its companions (serving's batch-composition
+    invariance; ops/conv.py quantize_act)."""
     if cond_perm is not None:
         assert c_halves is not None, "cond_perm implies pre-split c_halves"
         p = {**p, "flows": _permute_cond_rows(p["flows"], cond_perm)}
@@ -629,10 +632,17 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
                     run = functools.partial(pf.fused_chain_reverse_wino,
                                             nb=nb)
                 elif mode == "int8":
-                    make_ops = functools.partial(
-                        pf.pair_reverse_operands_int8, c_scales=c_scales)
+                    make_ops = pf.pair_reverse_operands_int8
+                    crs = None
+                    if c_scales is not None:
+                        # per-row scales ride a [B, 2] SMEM operand (each
+                        # grid step is one batch row), NOT a weight fold —
+                        # a fold would smear one row's scale over all
+                        crs = jnp.concatenate(
+                            [jnp.reshape(s.astype(jnp.float32), (-1, 1))
+                             for s in c_scales], axis=1)
                     run = functools.partial(pf.fused_chain_reverse,
-                                            int8=True)
+                                            int8=True, c_row_scales=crs)
                 else:
                     make_ops = pf.pair_reverse_operands
                     run = pf.fused_chain_reverse
@@ -668,7 +678,8 @@ def block_reverse(p: dict, cfg: ModelConfig, x, c=None, g=None, *,
                 # ``reverse``; weights per-out-channel per flow.
                 if not isinstance(c_a, tuple):
                     from ..ops.conv import quantize_act
-                    c_a, c_b = quantize_act(c_a), quantize_act(c_b)
+                    c_a = quantize_act(c_a, per_row=True)
+                    c_b = quantize_act(c_b, per_row=True)
             # (measured: unroll=True is time-neutral here but adds ~45 s
             # of compile — the scan stays)
             (u, v), _ = jax.lax.scan(
@@ -848,18 +859,22 @@ def reverse(params: dict, cfg: ModelConfig, z: jax.Array, c: jax.Array,
         c_lo, c_hi = jnp.split(c, 2, axis=2)
         g_lo, g_hi = (jnp.split(g_emb, 2, axis=2) if g_emb is not None
                       else (None, None))
-        # int8 routes: quantize the mel halves ONCE globally.  Every
-        # block's c half is a reshape VIEW of the same data, so the
+        # int8 routes: quantize the mel halves ONCE, with PER-ROW scales.
+        # Every block's c half is a reshape VIEW of the same data, so the
         # per-block/per-tile max-abs scales this replaces were (deep
         # blocks) or were approximately (kernel tiles) the same value;
         # the kernels then read half the c bytes and skip their
-        # in-kernel amax/round pass.  Quality-gated on trained weights
-        # next to the other int8 scopes (tools/int8_quality_gate.py).
+        # in-kernel amax/round pass.  Per-row (not per-tensor) scales
+        # keep each batch row's codes independent of its companions —
+        # serving's batch-composition invariance.  Quality-gated on
+        # trained weights next to the other int8 scopes
+        # (tools/int8_quality_gate.py).
         q8 = None
         if (PAIR_KERNEL_INT8 and g_emb is None and cfg.n_flow % 2 == 0
                 and _pair_kernel_eligible(cfg, False)):
             from ..ops.conv import quantize_act
-            q8 = (quantize_act(c_lo), quantize_act(c_hi))
+            q8 = (quantize_act(c_lo, per_row=True),
+                  quantize_act(c_hi, per_row=True))
         for bi in reversed(range(cfg.n_block)):
             k = bi + 1
             cc_half = (cfg.num_mels << k) // 2

@@ -194,14 +194,24 @@ def wn_conv1x1(x: jax.Array, p: dict) -> jax.Array:
     return conv1x1(x, wn_kernel(p), p["b"])
 
 
-def quantize_act(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Per-tensor max-abs int8 activation quantization: (q, fp32 scale).
+def quantize_act(x: jax.Array, per_row: bool = False
+                 ) -> tuple[jax.Array, jax.Array]:
+    """Max-abs int8 activation quantization: (q, fp32 scale).
 
     Mirrors the Pallas kernels' in-VMEM activation quantization
     (ops/pallas_flow.py _quant_act) so the XLA int8 route below has the
-    same numeric contract as the fused-kernel int8 route."""
+    same numeric contract as the fused-kernel int8 route.
+
+    ``per_row=True`` (rank-3 [B, T, C] input) computes one scale PER
+    BATCH ROW ([B, 1, 1]) instead of per tensor.  This is what keeps a
+    serving micro-batch composition-invariant: with a whole-batch amax,
+    one request's int8 codes — and therefore its audio — would depend on
+    its batch companions' content (serving/server.py's determinism
+    contract)."""
     xf = x.astype(jnp.float32)
-    scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-30) * (1.0 / 127.0)
+    amax = (jnp.max(jnp.abs(xf), axis=(1, 2), keepdims=True) if per_row
+            else jnp.max(jnp.abs(xf)))
+    scale = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
     q = jnp.clip(jnp.round(xf / scale), -127.0, 127.0).astype(jnp.int8)
     return q, scale
 
@@ -221,8 +231,10 @@ def conv1x1_int8(x_q: jax.Array, x_scale: jax.Array, kernel: jax.Array,
                    ).astype(jnp.int8)
     acc = jnp.einsum("btc,cd->btd", x_q, w_q,
                      preferred_element_type=jnp.int32)
-    out = (acc.astype(jnp.float32)
-           * (x_scale * w_scale)[None, None, :]).astype(out_dtype)
+    # x_scale is a scalar (per-tensor) or [B, 1, 1] (per-row); both
+    # broadcast against acc [B, T, K] * w_scale [K]
+    out = (acc.astype(jnp.float32) * jnp.asarray(x_scale, jnp.float32)
+           * w_scale[None, None, :]).astype(out_dtype)
     if bias is not None:
         out = out + bias.astype(out_dtype)
     return out

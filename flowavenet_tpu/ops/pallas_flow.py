@@ -57,7 +57,6 @@ SQRT_HALF = 0.7071067811865476
 # ms — the exp-based tanh/sigmoid workaround for the Mosaic bf16
 # vector.broadcast bug costs more than the narrower VPU lanes save).
 # FWN_GATE_BF16=1 keeps the probe available.
-from ..utils.flags import INT8 as _INT8
 from ..utils.flags import env_flag as _env_flag, env_int as _env_int
 
 GATE_DTYPE = jnp.bfloat16 if _env_flag("FWN_GATE_BF16") else jnp.float32
@@ -242,7 +241,8 @@ def _gated_q8(fg, r: int):
 def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
                   row0, T: int,
                   front_w, front_b, kfg, cond_w, cond_b, res_w, res_b,
-                  skip_w, skip_b, fin_w, fin_b, zw, zb, dtype):
+                  skip_w, skip_b, fin_w, fin_b, zw, zb, dtype,
+                  c_act_scale=None):
     """WaveNet coupling net over VMEM values.
 
     x_buf[j] = net input at position (j - x_off); c_buf likewise with c_off.
@@ -277,11 +277,16 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
     if isinstance(cond_w, tuple):        # int8 cond path: (cq, cscale)
         cq, cs = cond_w
         if c_buf.dtype == jnp.int8:
-            # conditioning arrives PRE-quantized (one global max-abs pass
-            # in reverse(), shared by every block); its activation scale
-            # is folded into ``cs`` outside the kernel — no in-kernel
-            # amax/round pass and half the c HBM/DMA bytes
-            c_q, c_scale = c_buf, jnp.float32(1.0)
+            # conditioning arrives PRE-quantized (one PER-ROW max-abs
+            # pass in reverse(), shared by every block); this grid step
+            # carries ONE batch row, so its activation scale arrives as
+            # the scalar ``c_act_scale`` — no in-kernel amax/round pass
+            # and half the c HBM/DMA bytes.  (c_act_scale=None keeps the
+            # legacy fold-into-cs contract: scale pre-multiplied into the
+            # cond weight scales outside the kernel.)
+            c_q = c_buf
+            c_scale = (jnp.float32(1.0) if c_act_scale is None
+                       else c_act_scale.astype(jnp.float32))
         else:
             c_amax = jnp.max(jnp.abs(c_buf.astype(jnp.float32)))
             c_scale = jnp.maximum(c_amax, 1e-30) * (1.0 / 127.0)
@@ -389,7 +394,8 @@ def _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref, cbt_ref,
                  cbh_ref, front_w, front_b, kfg,
                  cond_w, cond_b, res_w, res_b, skip_w, skip_b, fin_w, fin_b,
                  zw, zb, an_s, an_b, u_out, v_out,
-                 *, t_tile: int, n_t: int, T: int, n_pair: int = 1):
+                 *, t_tile: int, n_t: int, T: int, n_pair: int = 1,
+                 c_row_scale=None):
     """Fused reverse chain of ``n_pair`` flow pairs (one whole block when
     n_pair = n_flow/2).  Weight operands carry leading axes
     [n_pair, 2(flow even/odd), ...]; pairs execute in reversed index order
@@ -436,6 +442,8 @@ def _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref, cbt_ref,
         # [5, 5+l_mid)
         net = _coupling_net(v, cb, x_off=5, c_off=off + 5, out_len=l_mid,
                             row0=row0 + 5, T=T, dtype=dtype,
+                            c_act_scale=(None if c_row_scale is None
+                                         else c_row_scale[1]),
                             **flow_w(i, 1))
         log_s, t = net[:, :r_in], net[:, r_in:]
         u_mid = jax.lax.slice_in_dim(u, 5, 5 + l_mid, axis=0)
@@ -452,7 +460,10 @@ def _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref, cbt_ref,
         l_out = L - 20
         net2 = _coupling_net(u_mid, ca, x_off=5, c_off=off + 10,
                              out_len=l_out, row0=row0 + 10, T=T,
-                             dtype=dtype, **flow_w(i, 0))
+                             dtype=dtype,
+                             c_act_scale=(None if c_row_scale is None
+                                          else c_row_scale[0]),
+                             **flow_w(i, 0))
         log_s2, t2 = net2[:, :r_in], net2[:, r_in:]
         v_new = (jax.lax.slice_in_dim(v_an, 5, 5 + l_out, axis=0)
                  * jnp.exp(log_s2) + t2)
@@ -480,29 +491,42 @@ def _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref, cbt_ref,
 def _pair_kernel_i8(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
                     cbt_ref, cbh_ref, front_w, front_b, kfg, cond_w,
                     cond_b, res_w, res_b, skip_w, skip_b, fin_w, fin_b,
-                    zw, zb, an_s, an_b, kfg_scale, cond_scale, u_out,
-                    v_out, *, t_tile: int, n_t: int, T: int,
-                    n_pair: int = 1):
+                    zw, zb, an_s, an_b, kfg_scale, cond_scale, *rest,
+                    t_tile: int, n_t: int, T: int,
+                    n_pair: int = 1, has_crs: bool = False):
     """int8 variant: the fg convs AND the conditioning 1x1s run on the
     int8 MXU (weights pre-quantized with per-out-channel scales;
     activations quantized per call).  The res/skip/final matmuls stay
     bf16 — the MAX-ABS-quantized version of them measured slower end to
     end (b128 x 3.83 s: 1158 vs 1049 ms); see _pair_kernel_i8rs for the
-    fixed-scale variant that does pay."""
+    fixed-scale variant that does pay.
+
+    ``has_crs``: an extra [B, 2] SMEM input carries the per-row
+    conditioning activation scales (c_a, c_b); each grid step — one
+    batch row — reads its own, so serving batches stay
+    composition-invariant (see quantize_act)."""
+    if has_crs:
+        crs_ref, u_out, v_out = rest
+        row = pl.program_id(0) // n_t
+        crs = (crs_ref[row, 0], crs_ref[row, 1])
+    else:
+        (u_out, v_out), crs = rest, None
     _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
                  cbt_ref, cbh_ref, front_w, front_b, (kfg, kfg_scale),
                  (cond_w, cond_scale), cond_b, res_w, res_b,
                  skip_w, skip_b, fin_w,
                  fin_b, zw, zb, an_s, an_b, u_out, v_out,
-                 t_tile=t_tile, n_t=n_t, T=T, n_pair=n_pair)
+                 t_tile=t_tile, n_t=n_t, T=T, n_pair=n_pair,
+                 c_row_scale=crs)
 
 
 def _pair_kernel_i8rs(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
                       cbt_ref, cbh_ref, front_w, front_b, kfg, cond_w,
                       cond_b, res_w, res_b, skip_w, skip_b, fin_w, fin_b,
                       zw, zb, an_s, an_b, kfg_scale, cond_scale,
-                      res_scale, skip_scale, u_out, v_out, *, t_tile: int,
-                      n_t: int, T: int, n_pair: int = 1):
+                      res_scale, skip_scale, *rest, t_tile: int,
+                      n_t: int, T: int, n_pair: int = 1,
+                      has_crs: bool = False):
     """int8 fg convs + cond 1x1s + res/skip matmuls (FWN_INT8_RS=1 —
     OPT-IN, measured neutral-to-slightly-slower; the shipped default is
     the 17-operand _pair_kernel_i8 without res/skip quantization): the
@@ -510,12 +534,19 @@ def _pair_kernel_i8rs(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
     FIXED 1/127 scale (_gated_q8 — |tanh*sigmoid| < 1), so unlike the
     rejected max-abs full-int8 variant there is NO extra reduction pass.
     The final 1x1 stays bf16 (its relu-sum input is unbounded)."""
+    if has_crs:
+        crs_ref, u_out, v_out = rest
+        row = pl.program_id(0) // n_t
+        crs = (crs_ref[row, 0], crs_ref[row, 1])
+    else:
+        (u_out, v_out), crs = rest, None
     _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
                  cbt_ref, cbh_ref, front_w, front_b, (kfg, kfg_scale),
                  (cond_w, cond_scale), cond_b, (res_w, res_scale), res_b,
                  (skip_w, skip_scale), skip_b, fin_w,
                  fin_b, zw, zb, an_s, an_b, u_out, v_out,
-                 t_tile=t_tile, n_t=n_t, T=T, n_pair=n_pair)
+                 t_tile=t_tile, n_t=n_t, T=T, n_pair=n_pair,
+                 c_row_scale=crs)
 
 
 def _pair_kernel_hoisted_i8(ut_ref, uh_ref, vt_ref, vh_ref, cet_ref,
@@ -805,7 +836,8 @@ def stack_chain_operands(per_pair_ops: list[tuple]) -> tuple:
 
 def fused_chain_reverse(u, v, c_a, c_b, operands, *, n_pair: int,
                         t_tile: int | None = None, interpret: bool = False,
-                        hoisted: bool = False, int8: bool = False):
+                        hoisted: bool = False, int8: bool = False,
+                        c_row_scales=None):
     """Apply a chain of ``n_pair`` reverse flow pairs (one whole block) in
     ONE kernel launch.  u, v: [B, T, R_in]; c_*: [B, T, Cc]; ``operands``
     from stack_chain_operands (leading axes [n_pair, 2, ...]).  Returns
@@ -816,7 +848,14 @@ def fused_chain_reverse(u, v, c_a, c_b, operands, *, n_pair: int,
     ``hoisted=True``: c_a/c_b are the precomputed conditioning
     pre-activations for the even/odd flow ([B, T, n_layer*2R], from
     pair_reverse_operands_hoisted's hoist weights) and ``operands`` excludes
-    cond_w."""
+    cond_w.
+
+    ``c_row_scales`` (int8 + pre-quantized c only): [B, 2] fp32 PER-ROW
+    conditioning activation scales (c_a, c_b), delivered to each grid
+    step — which carries exactly one batch row — through a tiny SMEM
+    block.  Per-row instead of per-tensor scales keep every batch row's
+    int8 codes independent of its companions (serving's
+    batch-composition-invariance; see conv.quantize_act)."""
     B, T, R_in = u.shape
     dtype = u.dtype
     halo = _chain_halo(n_pair)
@@ -838,8 +877,12 @@ def fused_chain_reverse(u, v, c_a, c_b, operands, *, n_pair: int,
         kern = _pair_kernel_i8rs if len(operands) == 19 else _pair_kernel_i8
     else:
         kern = _pair_kernel
+    kw = {}
+    if c_row_scales is not None:
+        assert int8 and not hoisted, "c_row_scales is an int8-route input"
+        kw["has_crs"] = True
     kernel = functools.partial(kern, t_tile=t_tile, n_t=n_t, T=T,
-                               n_pair=n_pair)
+                               n_pair=n_pair, **kw)
     grid = (B * n_t,)
 
     def in_map(g):
@@ -857,6 +900,12 @@ def fused_chain_reverse(u, v, c_a, c_b, operands, *, n_pair: int,
                             memory_space=pltpu.VMEM)
 
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    extra_in, extra_specs = (), []
+    if c_row_scales is not None:
+        # whole [B, 2] array in SMEM (tiny); the kernel indexes its own
+        # row — Mosaic rejects sub-(8, 128) BLOCKS but not full arrays
+        extra_in = (jnp.asarray(c_row_scales, jnp.float32),)
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     cond_flops = 0 if hoisted else 2 * Cc * 512
     flops_net = 2 * T * (2 * 3 * 256 * 512 + cond_flops + 2 * 256 * 256
                          + 256 * 256 + 3 * R_in * 256 + 256 * 2 * R_in)
@@ -868,7 +917,7 @@ def fused_chain_reverse(u, v, c_a, c_b, operands, *, n_pair: int,
             tile_spec(R_in), halo_spec(R_in),
             tile_spec(Cc), halo_spec(Cc),
             tile_spec(Cc), halo_spec(Cc),
-        ] + [wspec] * len(operands),
+        ] + [wspec] * len(operands) + extra_specs,
         out_specs=[
             pl.BlockSpec((1, t_tile, R_in), out_map,
                          memory_space=pltpu.VMEM),
@@ -887,7 +936,7 @@ def fused_chain_reverse(u, v, c_a, c_b, operands, *, n_pair: int,
             else ("parallel",),
             vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
-    )(ut, uh, vt, vh, cat, cah, cbt, cbh, *operands)
+    )(ut, uh, vt, vh, cat, cah, cbt, cbh, *operands, *extra_in)
     if T_pad != T:
         u2, v2 = u2[:, :T], v2[:, :T]
     return u2, v2
@@ -895,14 +944,15 @@ def fused_chain_reverse(u, v, c_a, c_b, operands, *, n_pair: int,
 
 def fused_pair_reverse(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
                        interpret: bool = False, hoisted: bool = False,
-                       int8: bool = False):
+                       int8: bool = False, c_row_scales=None):
     """Apply one reverse flow pair. u, v: [B, T, R_in]; c_*: [B, T, Cc].
     ``operands`` from pair_reverse_operands.  Returns (u', v').
     Single-pair special case of fused_chain_reverse."""
     return fused_chain_reverse(u, v, c_a, c_b,
                                stack_chain_operands([operands]),
                                n_pair=1, t_tile=t_tile, interpret=interpret,
-                               hoisted=hoisted, int8=int8)
+                               hoisted=hoisted, int8=int8,
+                               c_row_scales=c_row_scales)
 
 
 # ===========================================================================

@@ -734,3 +734,36 @@ def test_hoisted_int8_model_routing_matches_xla(key, rng, monkeypatch):
     base = reverse(params, cfg_off, z, mel)
     fast = reverse(params, cfg_on, z, mel)
     _corr_close(fast, base)
+
+
+@pytest.mark.parametrize("deep", [False, True])
+def test_int8_route_batch_composition_invariant(key, rng, monkeypatch,
+                                                deep):
+    """Per-ROW conditioning scales (ops/conv.py quantize_act per_row):
+    a row's audio must be bit-identical no matter what its batch
+    companions contain — the serving determinism contract
+    (serving/server.py).  A per-tensor amax would let one LOUD companion
+    mel change every other row's int8 codes.  ``deep`` forces the XLA
+    pair-scan route (int8 cond matmuls) instead of the fused kernels."""
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_CPU_INTERPRET", True)
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_INT8", True)
+    if deep:
+        monkeypatch.setattr(fwn, "PAIR_KERNEL_HOISTED", False)
+        monkeypatch.setattr(fwn, "PAIR_KERNEL_MAX_CC", 0)
+        monkeypatch.setattr(fwn, "PAIR_KERNEL_WINO", False)
+    cfg_on = dataclasses.replace(CFG, use_pallas=True)
+    params = _randomized(key, cfg_on)
+    T = 8192
+    z = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    mel_row = rng.rand(1, T // cfg_on.hop_size, cfg_on.num_mels)
+    quiet = rng.rand(1, T // cfg_on.hop_size, cfg_on.num_mels)
+    loud = 5.0 * quiet
+
+    out_q = reverse(params, cfg_on, z,
+                    jnp.asarray(np.concatenate([mel_row, quiet]),
+                                jnp.float32))
+    out_l = reverse(params, cfg_on, z,
+                    jnp.asarray(np.concatenate([mel_row, loud]),
+                                jnp.float32))
+    np.testing.assert_array_equal(np.asarray(out_q[0]),
+                                  np.asarray(out_l[0]))
