@@ -421,3 +421,55 @@ def test_mesh_service_matches_single_device():
     finally:
         svc1.close()
         svc8.close()
+
+
+def test_concurrent_streams_and_submits():
+    """Thread-safety of the service under mixed load: streaming windows
+    dispatch from caller threads while the worker micro-batches one-shot
+    submits — all must complete with correct sizes and finite audio."""
+    from flowavenet_tpu.synthesis.streaming import plan_chunks
+
+    params = init_flowavenet(jax.random.PRNGKey(12), CFG.model)
+    svc = SynthesisService(params, CFG, max_batch=4, batch_window_ms=5.0)
+    rng = np.random.RandomState(41)
+    hop = CFG.audio.hop_size
+    results: dict = {}
+    errors: list = []
+
+    # pre-generate inputs: RandomState is not thread-safe
+    short_mels = [rng.rand(8, CFG.model.num_mels).astype(np.float32)
+                  for _ in range(4)]
+    long_mels = [rng.rand(64, CFG.model.num_mels).astype(np.float32)
+                 for _ in range(2)]
+
+    def one_shot(i):
+        try:
+            results[f"s{i}"] = svc.submit(short_mels[i], seed=i)
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(f"submit {i}: {e}")
+
+    def stream(i):
+        try:
+            n, chunks = svc.stream(long_mels[i], seed=100 + i)
+            pcm = b"".join(chunks)
+            assert len(pcm) == 2 * n
+            results[f"t{i}"] = pcm
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(f"stream {i}: {e}")
+
+    threads = ([threading.Thread(target=one_shot, args=(i,))
+                for i in range(4)]
+               + [threading.Thread(target=stream, args=(i,))
+                  for i in range(2)])
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    assert len(results) == 6
+    for i in range(4):
+        wav = results[f"s{i}"]
+        assert wav.shape == (8 * hop,) and np.all(np.isfinite(wav))
+    n_expected = 2 * plan_chunks(CFG, 64).total_frames * hop
+    assert all(len(results[f"t{i}"]) == n_expected for i in range(2))
+    svc.close()
