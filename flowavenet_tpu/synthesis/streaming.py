@@ -179,6 +179,11 @@ def stream_reverse(params, cfg: Config, mel: np.ndarray,
             z_full[z_end:w_end] = rs.randn(w_end - z_end) * t0
             z_end = w_end
         z = z_full[w0 * hop: w_end]
+        if dt == jnp.bfloat16:
+            # host-side pre-cast: bit-identical to reverse()'s own entry
+            # cast (both RNE), half the per-window upload bytes — see
+            # synthesize.dispatch_mels
+            z, c = z.astype(jnp.bfloat16), c.astype(jnp.bfloat16)
         zj = jnp.asarray(z)[None, :, None]
         cj = jnp.asarray(c)[None]
         if put is not None:

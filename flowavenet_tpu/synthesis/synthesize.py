@@ -172,6 +172,15 @@ def dispatch_mels(params, cfg: Config, mels: list[np.ndarray],
     batch = np.zeros((n_rows, pad_frames, cfg.audio.num_mels), np.float32)
     for i, m in enumerate(mels):
         batch[i, : frames[i]] = m[: frames[i]]
+    if dt == jnp.bfloat16:
+        # reverse()'s first op casts c (and z) to the compute dtype on
+        # device; casting on host FIRST is bit-identical (numpy/ml_dtypes
+        # and XLA both round-to-nearest-even, tests/test_synthesize.py::
+        # test_bf16_upload_bit_identical) and halves the dominant
+        # host->device transfer — on tunnel/PCIe-attached chips the
+        # serving pipeline's host-prep stage is what caps max_batch
+        # (docs/benchmarks.md serving table).
+        batch = batch.astype(jnp.bfloat16)
 
     if data_sharding is None:
         put = jnp.asarray
@@ -199,6 +208,8 @@ def dispatch_mels(params, cfg: Config, mels: list[np.ndarray],
         for i, (s, t) in enumerate(zip(seeds, temps)):
             z[i, :, 0] = np.random.RandomState(s % (2 ** 32)).randn(
                 pad_frames * hop) * t
+        if dt == jnp.bfloat16:  # same bit-identical pre-cast as the mels
+            z = z.astype(jnp.bfloat16)
         wav = _jitted_reverse(cfg.model, dt)(
             params, put(z), put(batch), g)
     return wav, frames

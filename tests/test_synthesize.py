@@ -65,3 +65,25 @@ def test_scalar_seed_rows_distinct(params):
 def test_seed_length_mismatch_raises(params):
     with pytest.raises(ValueError, match="seeds/temps"):
         synthesize_mels(params, CFG, [_mel(8)], seed=[1, 2])
+
+
+def test_bf16_upload_bit_identical(params):
+    """The host-side bf16 pre-cast of mels/z (dispatch_mels) must be
+    bit-identical to letting reverse() cast the fp32 upload on device:
+    numpy/ml_dtypes and XLA both round fp32->bf16 to-nearest-even.
+    Compares the dispatch path (pre-cast) against a direct reverse call
+    fed the raw fp32 arrays under the same bf16 compute dtype."""
+    from flowavenet_tpu.models.flowavenet import reverse
+
+    mel = _mel(8)
+    frames = 8
+    hop = CFG.audio.hop_size
+    seed = 7
+    got = synthesize_mels(params, CFG, [mel], seed=[seed],
+                          compute_dtype="bfloat16", bucket_frames=1)[0]
+    z = (np.random.RandomState(seed).randn(frames * hop)
+         * CFG.train.temp).astype(np.float32)[None, :, None]
+    want = reverse(params, CFG.model, jnp.asarray(z),
+                   jnp.asarray(mel)[None], compute_dtype=jnp.bfloat16)
+    want = np.asarray(want[0, :, 0].astype(jnp.float32))
+    np.testing.assert_array_equal(got, want)
