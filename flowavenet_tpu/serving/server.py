@@ -137,7 +137,8 @@ class SynthesisService:
         self._stop = threading.Event()
         self._inflight: list = []
         self.stats = {"requests": 0, "batches": 0, "streams": 0,
-                      "audio_seconds": 0.0, "busy_seconds": 0.0}
+                      "audio_seconds": 0.0, "busy_seconds": 0.0,
+                      "backpressure_seconds": 0.0}
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
         self._completer = threading.Thread(target=self._complete,
@@ -258,6 +259,7 @@ class SynthesisService:
                 continue
             self._inflight = batch  # close() fails these if we outlive it
             t0 = time.time()
+            bp0 = self.stats["backpressure_seconds"]
             # Group by bucketed length: within a group the padded length is
             # the group key itself, and dispatch_mels draws each item's
             # noise from its OWN seed at that length — so a request's audio
@@ -285,15 +287,20 @@ class SynthesisService:
                         batch_multiple=self._batch_multiple)
                     # hand the un-materialized result to the completion
                     # thread; blocks only when 2 groups are already in
-                    # flight (backpressure)
+                    # flight (backpressure).  The block is readback-bound
+                    # waiting, not host work — account it separately so
+                    # busy_seconds measures actual prep+dispatch cost.
+                    tq = time.time()
                     self._done_q.put((group, wav, frames))
+                    self.stats["backpressure_seconds"] += time.time() - tq
                 except Exception as e:  # surface errors to every waiter
                     for r in group:
                         r.error = f"{type(e).__name__}: {e}"
                         r.done.set()
             self.stats["requests"] += len(batch)
             self.stats["batches"] += 1
-            self.stats["busy_seconds"] += time.time() - t0
+            blocked = self.stats["backpressure_seconds"] - bp0
+            self.stats["busy_seconds"] += time.time() - t0 - blocked
             self._inflight = []
 
     def _complete(self) -> None:

@@ -20,6 +20,9 @@ host prep + async dispatch (the service stats' busy_seconds) — NOT device
 occupancy: dispatch returns before the device computes, so a low value
 means the pipeline keeps the worker unblocked, and a value near 1 means
 per-batch host prep itself is the bottleneck (measured at max_batch>=64).
+backpressure_frac is the fraction of wall the dispatch thread spends
+BLOCKED handing finished groups to the completion thread (done-queue
+bound 2) — i.e. waiting on readback, not doing host work.
 
 Env knobs: SERVE_CLIENTS (48) | SERVE_SECONDS (30 — measurement window)
 | SERVE_MAX_BATCH (32) | SERVE_UTT_SECONDS (2.0) | SERVE_WINDOW_MS (10)
@@ -125,6 +128,8 @@ def main() -> None:
         lat = np.sort(np.asarray(latencies))
         total_audio = audio_s[0]
     busy = svc.stats["busy_seconds"] - base["busy_seconds"]
+    blocked = (svc.stats["backpressure_seconds"]
+               - base.get("backpressure_seconds", 0.0))
     nreq = svc.stats["requests"] - base["requests"]
     nbatch = svc.stats["batches"] - base["batches"]
     svc.close()
@@ -134,7 +139,8 @@ def main() -> None:
     khz = total_audio * sr / wall / 1000.0
     print(f"# {len(lat)} requests in {wall:.1f}s | "
           f"{nreq / max(nbatch, 1):.1f} req/batch | "
-          f"dispatch thread busy {busy / wall:.0%}", file=sys.stderr)
+          f"dispatch thread busy {busy / wall:.0%} "
+          f"(+{blocked / wall:.0%} blocked on readback)", file=sys.stderr)
     print(json.dumps({
         "metric": "serving_khz_per_sec_per_chip",
         "value": round(khz, 2),
@@ -143,6 +149,7 @@ def main() -> None:
         "p50_ms": round(float(lat[len(lat) // 2]) * 1000, 1),
         "p99_ms": round(float(lat[int(len(lat) * 0.99)]) * 1000, 1),
         "dispatch_frac": round(busy / wall, 3),
+        "backpressure_frac": round(blocked / wall, 3),
     }))
 
 
