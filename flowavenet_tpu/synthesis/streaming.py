@@ -167,12 +167,9 @@ def stream_reverse(params, cfg: Config, mel: np.ndarray,
     mel = np.ascontiguousarray(mel[: plan.total_frames], np.float32)
 
     fn = _jitted_reverse(cfg.model, dt)
-    for k in range(plan.n_chunks):
-        start = k * plan.chunk_frames                  # first NEW frame
-        stop = min(start + plan.chunk_frames, plan.total_frames)
-        # aligned fixed-size window, clamped into the utterance
-        w0 = min(max(start - plan.halo_frames, 0),
-                 plan.total_frames - plan.window_frames)
+    # aligned fixed-size windows, clamped into the utterance — geometry
+    # shared with synthesize_time_parallel via _window_starts
+    for start, stop, w0 in _window_starts(plan):
         c = mel[w0: w0 + plan.window_frames]
         w_end = (w0 + plan.window_frames) * hop
         if w_end > z_end:
@@ -200,3 +197,121 @@ def synthesize_streaming(params, cfg: Config, mel: np.ndarray,
     the concatenated utterance (float32)."""
     return np.concatenate([a for _, a in
                            stream_reverse(params, cfg, mel, **kw)])
+
+
+def _window_starts(plan: ChunkPlan) -> Iterator[tuple[int, int, int]]:
+    """(start, stop, w0) per chunk — the exact window geometry
+    :func:`stream_reverse` uses, factored so the parallel path below
+    cannot drift from the sequential one."""
+    for k in range(plan.n_chunks):
+        start = k * plan.chunk_frames                  # first NEW frame
+        stop = min(start + plan.chunk_frames, plan.total_frames)
+        w0 = min(max(start - plan.halo_frames, 0),
+                 plan.total_frames - plan.window_frames)
+        yield start, stop, w0
+
+
+def synthesize_time_parallel(params, cfg: Config, mel: np.ndarray,
+                             seed: int = 0, temp: Optional[float] = None,
+                             chunk_frames: Optional[int] = None,
+                             halo_frames: Optional[int] = None,
+                             compute_dtype=None,
+                             speaker_id: Optional[int] = None,
+                             rows_per_pass: Optional[int] = None,
+                             data_sharding=None,
+                             batch_multiple: int = 1) -> np.ndarray:
+    """Sequence-parallel synthesis of ONE long utterance: the same exact
+    halo windows :func:`stream_reverse` walks serially are BATCHED and
+    (optionally) sharded across a device mesh, so one utterance's time
+    axis is synthesized by many chips at once.
+
+    This is the TPU-native context-parallel path SURVEY.md §5.7 calls
+    for: the reverse pass has a tiny finite receptive field
+    (:func:`reverse_halo`), so sharding time degenerates to
+    batch-parallelism over overlapping windows — each window reads its
+    halo from the (host-resident) mel and the deterministic noise
+    stream, which means ZERO device collectives; XLA/GSPMD only gathers
+    the outputs.  The output is bit-identical to
+    :func:`synthesize_streaming` for the same (seed, temp, plan) — same
+    windows, same noise stream, same trims (asserted in
+    tests/test_streaming.py) — with HBM bounded by ``rows_per_pass``
+    windows instead of the utterance.
+
+    Compared to the serial stream (~23x real-time single-stream on the
+    flagship), batching the windows recovers one-shot BATCH throughput
+    for offline long-form jobs at the cost of the halo overlap's ~2x
+    compute (docs/benchmarks.md streaming section).
+
+    ``data_sharding`` is a ``NamedSharding`` over a data-parallel mesh
+    axis (see serving/server.py's ``data_parallel``); params should
+    already be placed with ``parallel.param_sharding``.
+    ``batch_multiple`` (the mesh's data extent) rounds the fixed row
+    count so every device gets whole rows.  ``rows_per_pass`` fixes the
+    batch of every dispatch — ONE compiled shape regardless of
+    utterance length (default: 16, rounded up to ``batch_multiple``).
+    """
+    if mel.ndim != 2 or mel.shape[1] != cfg.audio.num_mels:
+        raise ValueError(
+            f"mel must be [T, {cfg.audio.num_mels}], got {mel.shape}")
+    import jax
+
+    dt = resolve_compute_dtype(cfg, compute_dtype)
+    hop = cfg.audio.hop_size
+    t0 = cfg.train.temp if temp is None else float(temp)
+    plan = plan_chunks(cfg, mel.shape[0], chunk_frames, halo_frames)
+    mel = np.ascontiguousarray(mel[: plan.total_frames], np.float32)
+
+    if rows_per_pass is None:
+        rows_per_pass = min(16, plan.n_chunks)
+    if rows_per_pass <= 0:
+        raise ValueError(f"rows_per_pass must be positive, got "
+                         f"{rows_per_pass}")
+    rows = -(-rows_per_pass // batch_multiple) * batch_multiple
+
+    # One sequential noise stream for the whole utterance — identical to
+    # stream_reverse's incremental draw (RandomState streams are
+    # split-consistent), sliced per window.
+    n_total = plan.total_frames * hop
+    z_full = np.random.RandomState(seed % (2 ** 32)).randn(
+        n_total).astype(np.float32) * t0
+
+    g = None
+    if cfg.model.gin_channels > 0 and speaker_id is not None:
+        g = np.full((rows,), speaker_id, np.int32)
+
+    if data_sharding is None:
+        put = jnp.asarray
+    else:
+        def put(a):
+            return jax.device_put(np.asarray(a), data_sharding)
+        if g is not None:
+            g = put(g)
+
+    fn = _jitted_reverse(cfg.model, dt)
+    wf = plan.window_frames
+    out = np.empty(n_total, np.float32)
+    windows = list(_window_starts(plan))
+    pending = None  # (device wav, geometry rows) — one pass in flight
+
+    def materialize(dev_wav, geom):
+        wav = np.asarray(dev_wav.astype(jnp.float32))
+        for i, (start, stop, w0) in enumerate(geom):
+            keep0 = (start - w0) * hop
+            out[start * hop: stop * hop] = (
+                wav[i, keep0: keep0 + (stop - start) * hop, 0])
+
+    for p0 in range(0, len(windows), rows):
+        geom = windows[p0: p0 + rows]
+        zb = np.zeros((rows, wf * hop, 1), np.float32)
+        cb = np.zeros((rows, wf, cfg.audio.num_mels), np.float32)
+        for i, (_, _, w0) in enumerate(geom):
+            zb[i, :, 0] = z_full[w0 * hop: (w0 + wf) * hop]
+            cb[i] = mel[w0: w0 + wf]
+        if dt == jnp.bfloat16:  # bit-identical host pre-cast, half bytes
+            zb, cb = zb.astype(jnp.bfloat16), cb.astype(jnp.bfloat16)
+        dev_wav = fn(params, put(zb), put(cb), g)
+        if pending is not None:  # overlap host assembly with device work
+            materialize(*pending)
+        pending = (dev_wav, geom)
+    materialize(*pending)
+    return out

@@ -282,12 +282,39 @@ def main(argv=None):
                              "one compiled window shape for ANY length, "
                              "bounded memory; exact vs one-shot")
     parser.add_argument("--chunk_frames", type=int, default=None,
-                        help="--stream window advance, in mel frames")
+                        help="--stream / --time_parallel window advance, "
+                             "in mel frames")
+    parser.add_argument("--time_parallel", type=int, default=0,
+                        help="sequence-parallel long-form synthesis: "
+                             "batch each utterance's halo windows and "
+                             "shard them over N devices (-1: all). "
+                             "Exact vs --stream; bounded memory; "
+                             "one-shot batch throughput per utterance")
     args = parser.parse_args(argv)
+    if args.stream and args.time_parallel:
+        parser.error("--stream and --time_parallel are exclusive")
 
     cfg = get_config(args.config)
     params, step = load_params(args.saved_dir, cfg)
     os.makedirs(args.output_dir, exist_ok=True)
+
+    tp_sharding, tp_multiple = None, 1
+    if args.time_parallel:
+        import dataclasses
+
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..parallel.mesh import make_mesh, param_sharding
+        n = (len(jax.devices()) if args.time_parallel < 0
+             else args.time_parallel)
+        if n > 1:
+            mesh = make_mesh(dataclasses.replace(
+                cfg.mesh, data_parallel=n, model_parallel=1))
+            params = jax.device_put(
+                params, param_sharding(params, mesh, cfg.mesh))
+            tp_sharding = NamedSharding(mesh,
+                                        PartitionSpec(cfg.mesh.data_axis))
+            tp_multiple = n
 
     from ..audio.wavio import write_wav
 
@@ -306,6 +333,15 @@ def main(argv=None):
                         params, cfg, m.astype(np.float32),
                         seed=args.seed + i + j, temp=args.temp,
                         chunk_frames=args.chunk_frames)
+                    for j, m in enumerate(mels)]
+        elif args.time_parallel:
+            from .streaming import synthesize_time_parallel
+            wavs = [synthesize_time_parallel(
+                        params, cfg, m.astype(np.float32),
+                        seed=args.seed + i + j, temp=args.temp,
+                        chunk_frames=args.chunk_frames,
+                        data_sharding=tp_sharding,
+                        batch_multiple=tp_multiple)
                     for j, m in enumerate(mels)]
         else:
             wavs = synthesize_mels(params, cfg, mels, seed=args.seed + i,

@@ -149,6 +149,84 @@ def test_streaming_with_speaker_conditioning():
     assert not np.allclose(audio, other)
 
 
+def test_time_parallel_matches_streaming():
+    """Batched window synthesis must reproduce the serial stream
+    sample-for-sample: same plan, same noise stream, same trims — only
+    the dispatch shape differs (here rows_per_pass=3 forces multiple
+    passes plus zero-padded tail rows)."""
+    from flowavenet_tpu.synthesis.streaming import synthesize_time_parallel
+
+    params = _damped_params(jax.random.PRNGKey(8), CFG.model)
+    rng = np.random.RandomState(31)
+    frames = 64
+    mel = rng.rand(frames, CFG.audio.num_mels).astype(np.float32)
+
+    serial = synthesize_streaming(params, CFG, mel, seed=11, temp=0.7)
+    par = synthesize_time_parallel(params, CFG, mel, seed=11, temp=0.7,
+                                   rows_per_pass=3)
+    assert par.shape == serial.shape
+    scale = np.abs(serial).max()
+    np.testing.assert_allclose(par, serial, atol=1e-5 * scale, rtol=0)
+
+    # and therefore matches the one-shot reverse too
+    hop = CFG.audio.hop_size
+    z = np.random.RandomState(11).randn(frames * hop).astype(np.float32)
+    full = reverse(params, CFG.model, jnp.asarray(z * 0.7)[None, :, None],
+                   jnp.asarray(mel)[None])
+    np.testing.assert_allclose(
+        par, np.asarray(full[0, :, 0], np.float32),
+        atol=1e-4 * scale, rtol=0)
+
+
+def test_time_parallel_sharded_over_mesh():
+    """The same windows sharded over an 8-device data mesh (the SURVEY
+    §5.7 context-parallel path: time shards -> batch rows, zero
+    collectives) must equal the unsharded result."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from flowavenet_tpu.config import MeshConfig
+    from flowavenet_tpu.parallel.mesh import make_mesh, param_sharding
+    from flowavenet_tpu.synthesis.streaming import synthesize_time_parallel
+
+    params = _damped_params(jax.random.PRNGKey(9), CFG.model)
+    rng = np.random.RandomState(41)
+    mel = rng.rand(96, CFG.audio.num_mels).astype(np.float32)
+
+    base = synthesize_time_parallel(params, CFG, mel, seed=5, temp=0.7,
+                                    rows_per_pass=8)
+
+    mesh_cfg = MeshConfig(data_parallel=8, model_parallel=1)
+    mesh = make_mesh(mesh_cfg)
+    p_sh = param_sharding(params, mesh, mesh_cfg)
+    import jax as _jax
+    params_m = _jax.device_put(params, p_sh)
+    sharded = synthesize_time_parallel(
+        params_m, CFG, mel, seed=5, temp=0.7, rows_per_pass=8,
+        data_sharding=NamedSharding(mesh,
+                                    PartitionSpec(mesh_cfg.data_axis)),
+        batch_multiple=8)
+    scale = np.abs(base).max()
+    np.testing.assert_allclose(sharded, base, atol=1e-5 * scale, rtol=0)
+
+
+def test_time_parallel_speaker_conditioning():
+    """gin models ride the parallel path too (same id on every row)."""
+    from flowavenet_tpu.synthesis.streaming import synthesize_time_parallel
+
+    cfg = dataclasses.replace(
+        CFG, model=dataclasses.replace(CFG.model, gin_channels=16,
+                                       n_speakers=4))
+    params = _damped_params(jax.random.PRNGKey(10), cfg.model)
+    mel = np.random.RandomState(51).rand(
+        64, cfg.audio.num_mels).astype(np.float32)
+    serial = synthesize_streaming(params, cfg, mel, seed=3, temp=0.7,
+                                  speaker_id=2)
+    par = synthesize_time_parallel(params, cfg, mel, seed=3, temp=0.7,
+                                   speaker_id=2, rows_per_pass=4)
+    scale = np.abs(serial).max()
+    np.testing.assert_allclose(par, serial, atol=1e-5 * scale, rtol=0)
+
+
 def test_streaming_rejects_bad_mel():
     params = init_flowavenet(jax.random.PRNGKey(0), CFG.model)
     with pytest.raises(ValueError, match="mel must be"):
