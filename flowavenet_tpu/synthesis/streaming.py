@@ -219,7 +219,9 @@ def synthesize_time_parallel(params, cfg: Config, mel: np.ndarray,
                              speaker_id: Optional[int] = None,
                              rows_per_pass: Optional[int] = None,
                              data_sharding=None,
-                             batch_multiple: int = 1) -> np.ndarray:
+                             batch_multiple: int = 1,
+                             noise: str = "host",
+                             pcm16: bool = False) -> np.ndarray:
     """Sequence-parallel synthesis of ONE long utterance: the same exact
     halo windows :func:`stream_reverse` walks serially are BATCHED and
     (optionally) sharded across a device mesh, so one utterance's time
@@ -249,10 +251,26 @@ def synthesize_time_parallel(params, cfg: Config, mel: np.ndarray,
     count so every device gets whole rows.  ``rows_per_pass`` fixes the
     batch of every dispatch — ONE compiled shape regardless of
     utterance length (default: 16, rounded up to ``batch_multiple``).
+
+    ``noise='device'`` replaces the host RandomState stream with
+    POSITIONAL device noise — z for absolute frame f is a pure function
+    of (seed, f) (see synthesize._jitted_reverse_posnoise) — deleting
+    the z upload, which is as large as the audio itself.  Overlapping
+    windows still see identical noise in shared receptive fields, so
+    chunking stays seamless and the audio is invariant to the chunk
+    plan; the stream differs from (but is exactly as deterministic as)
+    the host one, mirroring the serving path's device noise.  ``pcm16``
+    (device noise only) quantizes to 16-bit PCM on device with the WAV
+    layer's exact rounding, halving readback; the return dtype is then
+    int16.
     """
     if mel.ndim != 2 or mel.shape[1] != cfg.audio.num_mels:
         raise ValueError(
             f"mel must be [T, {cfg.audio.num_mels}], got {mel.shape}")
+    if noise not in ("host", "device"):
+        raise ValueError(f"noise must be 'host' or 'device', got {noise!r}")
+    if pcm16 and noise != "device":
+        raise ValueError("pcm16=True requires noise='device'")
     import jax
 
     dt = resolve_compute_dtype(cfg, compute_dtype)
@@ -268,33 +286,50 @@ def synthesize_time_parallel(params, cfg: Config, mel: np.ndarray,
                          f"{rows_per_pass}")
     rows = -(-rows_per_pass // batch_multiple) * batch_multiple
 
-    # One sequential noise stream for the whole utterance — identical to
-    # stream_reverse's incremental draw (RandomState streams are
-    # split-consistent), sliced per window.
     n_total = plan.total_frames * hop
-    z_full = np.random.RandomState(seed % (2 ** 32)).randn(
-        n_total).astype(np.float32) * t0
+    z_full = None
+    if noise == "host":
+        # One sequential noise stream for the whole utterance — identical
+        # to stream_reverse's incremental draw (RandomState streams are
+        # split-consistent), sliced per window.
+        z_full = np.random.RandomState(seed % (2 ** 32)).randn(
+            n_total).astype(np.float32) * t0
 
     g = None
     if cfg.model.gin_channels > 0 and speaker_id is not None:
         g = np.full((rows,), speaker_id, np.int32)
 
     if data_sharding is None:
-        put = jnp.asarray
+        put = put_rep = jnp.asarray
     else:
+        from jax.sharding import NamedSharding, PartitionSpec
+        _rep = NamedSharding(data_sharding.mesh, PartitionSpec())
+
         def put(a):
             return jax.device_put(np.asarray(a), data_sharding)
+
+        def put_rep(a):
+            return jax.device_put(np.asarray(a), _rep)
         if g is not None:
             g = put(g)
 
-    fn = _jitted_reverse(cfg.model, dt)
+    if noise == "device":
+        from .synthesize import _jitted_reverse_posnoise
+        fn_dev = _jitted_reverse_posnoise(cfg.model, dt, hop, pcm16)
+        seed_arr = put_rep(np.uint32(seed % (2 ** 32)))
+        temps = put(np.full((rows,), t0, np.float32))
+    else:
+        fn = _jitted_reverse(cfg.model, dt)
     wf = plan.window_frames
-    out = np.empty(n_total, np.float32)
+    out = np.empty(n_total, np.int16 if pcm16 else np.float32)
     windows = list(_window_starts(plan))
     pending = None  # (device wav, geometry rows) — one pass in flight
 
     def materialize(dev_wav, geom):
-        wav = np.asarray(dev_wav.astype(jnp.float32))
+        if pcm16:
+            wav = np.asarray(dev_wav)
+        else:
+            wav = np.asarray(dev_wav.astype(jnp.float32))
         for i, (start, stop, w0) in enumerate(geom):
             keep0 = (start - w0) * hop
             out[start * hop: stop * hop] = (
@@ -302,14 +337,23 @@ def synthesize_time_parallel(params, cfg: Config, mel: np.ndarray,
 
     for p0 in range(0, len(windows), rows):
         geom = windows[p0: p0 + rows]
-        zb = np.zeros((rows, wf * hop, 1), np.float32)
         cb = np.zeros((rows, wf, cfg.audio.num_mels), np.float32)
         for i, (_, _, w0) in enumerate(geom):
-            zb[i, :, 0] = z_full[w0 * hop: (w0 + wf) * hop]
             cb[i] = mel[w0: w0 + wf]
         if dt == jnp.bfloat16:  # bit-identical host pre-cast, half bytes
-            zb, cb = zb.astype(jnp.bfloat16), cb.astype(jnp.bfloat16)
-        dev_wav = fn(params, put(zb), put(cb), g)
+            cb = cb.astype(jnp.bfloat16)
+        if noise == "device":
+            w0s = np.zeros((rows,), np.int32)
+            w0s[: len(geom)] = [w for _, _, w in geom]
+            dev_wav = fn_dev(params, seed_arr, put(w0s), temps,
+                             put(cb), g)
+        else:
+            zb = np.zeros((rows, wf * hop, 1), np.float32)
+            for i, (_, _, w0) in enumerate(geom):
+                zb[i, :, 0] = z_full[w0 * hop: (w0 + wf) * hop]
+            if dt == jnp.bfloat16:
+                zb = zb.astype(jnp.bfloat16)
+            dev_wav = fn(params, put(zb), put(cb), g)
         if pending is not None:  # overlap host assembly with device work
             materialize(*pending)
         pending = (dev_wav, geom)

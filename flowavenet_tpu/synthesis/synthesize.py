@@ -60,6 +60,40 @@ def _jitted_reverse_devnoise(model_cfg: ModelConfig, dt, hop: int,
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_reverse_posnoise(model_cfg: ModelConfig, dt, hop: int,
+                             pcm16: bool):
+    """Reverse with POSITIONAL device noise: z for absolute mel frame f
+    is ``normal(fold_in(PRNGKey(seed), f)) * temp`` — a pure function of
+    (seed, absolute position), NOT of the window that computes it.
+    Overlapping halo windows therefore see identical noise in their
+    shared receptive fields, so chunked synthesis stays SEAMLESS and the
+    audio is invariant to the chunk plan entirely (asserted in
+    tests/test_streaming.py), while the z upload — as large as the audio
+    itself — disappears.  A different (still fully seed-deterministic)
+    stream than the host RandomState one, exactly like the serving
+    path's per-row device noise (_jitted_reverse_devnoise).
+
+    Rows carry their window's first absolute frame ``w0``; ``pcm16``
+    quantizes on device as in the serving path (halves readback)."""
+    def f(params, seed, w0s, temps, c, g=None):
+        W = c.shape[1]
+
+        def row(w0, t):
+            def frame(i):
+                k = jax.random.fold_in(jax.random.PRNGKey(seed), w0 + i)
+                return jax.random.normal(k, (hop,), jnp.float32) * t
+            return jax.vmap(frame)(jnp.arange(W)).reshape(W * hop, 1)
+
+        z = jax.vmap(row)(w0s, temps)
+        wav = reverse(params, model_cfg, z, c, g, compute_dtype=dt)
+        if pcm16:
+            wav = jnp.clip(jnp.round(wav.astype(jnp.float32) * 32768.0),
+                           -32768, 32767).astype(jnp.int16)
+        return wav
+    return jax.jit(f)
+
+
 def resolve_compute_dtype(cfg: Config, compute_dtype=None):
     """The dtype synthesis will actually run in: an explicit request wins,
     else cfg.train.compute_dtype decides."""

@@ -227,6 +227,60 @@ def test_time_parallel_speaker_conditioning():
     np.testing.assert_allclose(par, serial, atol=1e-5 * scale, rtol=0)
 
 
+def test_time_parallel_device_noise_plan_invariant():
+    """Positional device noise: z is a pure function of (seed, absolute
+    frame), so the audio must be invariant to the chunk plan — different
+    chunk sizes, same waveform (the seamlessness property) — and
+    deterministic across calls."""
+    from flowavenet_tpu.synthesis.streaming import synthesize_time_parallel
+
+    params = _damped_params(jax.random.PRNGKey(12), CFG.model)
+    mel = np.random.RandomState(61).rand(
+        96, CFG.audio.num_mels).astype(np.float32)
+
+    a = synthesize_time_parallel(params, CFG, mel, seed=9, temp=0.7,
+                                 noise="device", rows_per_pass=4)
+    b = synthesize_time_parallel(params, CFG, mel, seed=9, temp=0.7,
+                                 noise="device", rows_per_pass=4)
+    np.testing.assert_array_equal(a, b)  # deterministic
+
+    other_plan = synthesize_time_parallel(
+        params, CFG, mel, seed=9, temp=0.7, noise="device",
+        rows_per_pass=8,
+        chunk_frames=2 * (96 // 6))  # a different aligned chunking
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(other_plan, a, atol=1e-4 * scale, rtol=0)
+
+    # different seed -> different audio
+    c = synthesize_time_parallel(params, CFG, mel, seed=10, temp=0.7,
+                                 noise="device", rows_per_pass=4)
+    assert not np.allclose(a, c)
+
+
+def test_time_parallel_pcm16():
+    """pcm16 returns int16 quantized ON DEVICE with the WAV layer's exact
+    rounding: within 1 LSB of quantizing the float route on host."""
+    from flowavenet_tpu.synthesis.streaming import synthesize_time_parallel
+
+    params = _damped_params(jax.random.PRNGKey(13), CFG.model)
+    mel = np.random.RandomState(71).rand(
+        64, CFG.audio.num_mels).astype(np.float32)
+
+    f = synthesize_time_parallel(params, CFG, mel, seed=4, temp=0.7,
+                                 noise="device", rows_per_pass=4)
+    q = synthesize_time_parallel(params, CFG, mel, seed=4, temp=0.7,
+                                 noise="device", rows_per_pass=4,
+                                 pcm16=True)
+    assert q.dtype == np.int16
+    ref = np.clip(np.round(f.astype(np.float64) * 32768.0),
+                  -32768, 32767).astype(np.int16)
+    assert np.abs(q.astype(np.int32) - ref.astype(np.int32)).max() <= 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pcm16"):
+        synthesize_time_parallel(params, CFG, mel, pcm16=True)
+
+
 def test_streaming_rejects_bad_mel():
     params = init_flowavenet(jax.random.PRNGKey(0), CFG.model)
     with pytest.raises(ValueError, match="mel must be"):

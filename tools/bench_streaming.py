@@ -8,6 +8,13 @@ line.
 
 Env knobs: STREAM_SECONDS (30 — utterance length) | BENCH_CONFIG (lj22k)
 | STREAM_CHUNK_FRAMES (default: plan_chunks default)
+| STREAM_PARALLEL_ROWS (0 — when >0, ALSO time the offline
+  sequence-parallel path, synthesize_time_parallel with rows_per_pass=N,
+  and report its long-form RTF; single chip here, so this measures the
+  window-batching win alone — a mesh multiplies it)
+| STREAM_PARALLEL_NOISE (host | device — positional device noise kills
+  the z upload) | STREAM_PARALLEL_PCM16 (0/1 — on-device int16, halves
+  readback; requires device noise)
 """
 
 from __future__ import annotations
@@ -81,6 +88,32 @@ def main() -> None:
     print(f"# first audio {ttfa * 1e3:.1f} ms | {total / sr:.1f}s audio in "
           f"{wall:.2f}s | halo compute overhead x{overhead:.2f}",
           file=sys.stderr)
+
+    par_rtf = None
+    par_rows = int(os.environ.get("STREAM_PARALLEL_ROWS", "0"))
+    par_noise = os.environ.get("STREAM_PARALLEL_NOISE", "host")
+    par_pcm16 = bool(int(os.environ.get("STREAM_PARALLEL_PCM16", "0")))
+    if par_rows > 0:
+        from flowavenet_tpu.synthesis.streaming import (
+            synthesize_time_parallel)
+        kw = dict(chunk_frames=chunk_frames, rows_per_pass=par_rows,
+                  noise=par_noise, pcm16=par_pcm16)
+        t0 = time.time()
+        out = synthesize_time_parallel(params, cfg, mel, seed=2, **kw)
+        warm = time.time() - t0  # includes the batched shape's compile
+        t0 = time.time()
+        out = synthesize_time_parallel(params, cfg, mel, seed=3, **kw)
+        par_wall = time.time() - t0
+        assert out.shape[0] == plan.total_frames * hop
+        if not par_pcm16:
+            assert np.all(np.isfinite(out))
+        par_rtf = out.shape[0] / sr / par_wall
+        print(f"# time-parallel rows={par_rows} noise={par_noise}"
+              f"{' pcm16' if par_pcm16 else ''}: "
+              f"{out.shape[0] / sr:.1f}s "
+              f"audio in {par_wall:.2f}s = {par_rtf:.1f}x RT "
+              f"(warm incl. compile {warm:.1f}s)", file=sys.stderr)
+
     print(json.dumps({
         "metric": "streaming_ttfa_ms",
         "value": round(ttfa * 1e3, 1),
@@ -89,6 +122,8 @@ def main() -> None:
         "stream_rtf": round(rtf, 2),
         "chunk_seconds": round(plan.chunk_frames * hop / sr, 3),
         "halo_overhead": round(overhead, 3),
+        **({"time_parallel_rtf": round(par_rtf, 2),
+            "time_parallel_rows": par_rows} if par_rtf else {}),
     }))
 
 
