@@ -30,10 +30,16 @@ def test_demo_notebook_executes(tmp_path):
 
     nb = nbformat.read(NOTEBOOK, as_version=4)
     patched = False
+    first_code = True
     for cell in nb.cells:
         if cell.cell_type != "code":
             continue
         src = cell.source
+        if first_code:
+            # the kernel starts in tmp_path with no PYTHONPATH — make the
+            # repo importable regardless of the invoking environment
+            src = f"import sys\nsys.path.insert(0, {REPO!r})\n" + src
+            first_code = False
         if "/tmp/fwn_smoke" in src:
             src = src.replace("/tmp/fwn_smoke", str(smoke))
             patched = True
