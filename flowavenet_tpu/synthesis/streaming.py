@@ -53,7 +53,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config, ModelConfig
-from .synthesize import _jitted_reverse, _usable_frames, resolve_compute_dtype
+from .synthesize import (_jitted_reverse, _jitted_reverse_trim,
+                         _usable_frames, resolve_compute_dtype)
 
 
 def reverse_halo(m: ModelConfig) -> int:
@@ -166,7 +167,13 @@ def stream_reverse(params, cfg: Config, mel: np.ndarray,
     z_end = 0
     mel = np.ascontiguousarray(mel[: plan.total_frames], np.float32)
 
-    fn = _jitted_reverse(cfg.model, dt)
+    # The halo is context, never output: trim it ON DEVICE so only each
+    # window's center crosses the wire (readback shrinks by window/chunk
+    # = 2x at the default TTFA plan).  Pure data movement — the yielded
+    # samples are bit-identical to slicing the full window on host.
+    keep = plan.chunk_frames * hop
+    wf_hop = plan.window_frames * hop
+    fn = _jitted_reverse_trim(cfg.model, dt, keep)
     # aligned fixed-size windows, clamped into the utterance — geometry
     # shared with synthesize_time_parallel via _window_starts
     for start, stop, w0 in _window_starts(plan):
@@ -185,10 +192,11 @@ def stream_reverse(params, cfg: Config, mel: np.ndarray,
         cj = jnp.asarray(c)[None]
         if put is not None:
             zj, cj = put(zj), put(cj)
-        wav = fn(params, zj, cj, g)
+        k0 = min((start - w0) * hop, wf_hop - keep)
+        wav = fn(params, zj, cj, g, k0)
         wav = np.asarray(wav[0, :, 0].astype(jnp.float32))
-        keep0 = (start - w0) * hop
-        yield start * hop, wav[keep0: keep0 + (stop - start) * hop]
+        off = (start - w0) * hop - k0
+        yield start * hop, wav[off: off + (stop - start) * hop]
 
 
 def synthesize_streaming(params, cfg: Config, mel: np.ndarray,
@@ -313,27 +321,32 @@ def synthesize_time_parallel(params, cfg: Config, mel: np.ndarray,
         if g is not None:
             g = put(g)
 
+    wf = plan.window_frames
     if noise == "device":
         from .synthesize import _jitted_reverse_posnoise
-        fn_dev = _jitted_reverse_posnoise(cfg.model, dt, hop, pcm16)
+        # Device-side halo trim: each row returns only its CENTER
+        # (chunk_frames * hop samples), so the halo overlap — pure
+        # context — never crosses the wire.  Readback shrinks by
+        # window/chunk (2x at the TTFA-default plan, 1.25x at the
+        # long-form chunk-512 plan).
+        keep = plan.chunk_frames * hop
+        fn_dev = _jitted_reverse_posnoise(cfg.model, dt, hop, pcm16, keep)
         seed_arr = put_rep(np.uint32(seed % (2 ** 32)))
         temps = put(np.full((rows,), t0, np.float32))
     else:
         fn = _jitted_reverse(cfg.model, dt)
-    wf = plan.window_frames
     out = np.empty(n_total, np.int16 if pcm16 else np.float32)
     windows = list(_window_starts(plan))
-    pending = None  # (device wav, geometry rows) — one pass in flight
+    pending = None  # (device wav, geometry, row offsets) — one in flight
 
-    def materialize(dev_wav, geom):
+    def materialize(dev_wav, geom, offs):
         if pcm16:
             wav = np.asarray(dev_wav)
         else:
             wav = np.asarray(dev_wav.astype(jnp.float32))
         for i, (start, stop, w0) in enumerate(geom):
-            keep0 = (start - w0) * hop
             out[start * hop: stop * hop] = (
-                wav[i, keep0: keep0 + (stop - start) * hop, 0])
+                wav[i, offs[i]: offs[i] + (stop - start) * hop, 0])
 
     for p0 in range(0, len(windows), rows):
         geom = windows[p0: p0 + rows]
@@ -345,8 +358,16 @@ def synthesize_time_parallel(params, cfg: Config, mel: np.ndarray,
         if noise == "device":
             w0s = np.zeros((rows,), np.int32)
             w0s[: len(geom)] = [w for _, _, w in geom]
+            # per-row trim start, pre-clamped so the final (over-long)
+            # window's slice stays in bounds — dynamic_slice would clamp
+            # silently and shift the content
+            k0s = np.zeros((rows,), np.int32)
+            k0s[: len(geom)] = [min((s - w) * hop, wf * hop - keep)
+                                for s, _, w in geom]
             dev_wav = fn_dev(params, seed_arr, put(w0s), temps,
-                             put(cb), g)
+                             put(cb), g, put(k0s))
+            offs = [(s - w) * hop - int(k0s[i])
+                    for i, (s, _, w) in enumerate(geom)]
         else:
             zb = np.zeros((rows, wf * hop, 1), np.float32)
             for i, (_, _, w0) in enumerate(geom):
@@ -354,8 +375,9 @@ def synthesize_time_parallel(params, cfg: Config, mel: np.ndarray,
             if dt == jnp.bfloat16:
                 zb = zb.astype(jnp.bfloat16)
             dev_wav = fn(params, put(zb), put(cb), g)
+            offs = [(s - w) * hop for s, _, w in geom]
         if pending is not None:  # overlap host assembly with device work
             materialize(*pending)
-        pending = (dev_wav, geom)
+        pending = (dev_wav, geom, offs)
     materialize(*pending)
     return out

@@ -62,7 +62,7 @@ def _jitted_reverse_devnoise(model_cfg: ModelConfig, dt, hop: int,
 
 @functools.lru_cache(maxsize=None)
 def _jitted_reverse_posnoise(model_cfg: ModelConfig, dt, hop: int,
-                             pcm16: bool):
+                             pcm16: bool, keep: int | None = None):
     """Reverse with POSITIONAL device noise: z for absolute mel frame f
     is ``normal(fold_in(PRNGKey(seed), f)) * temp`` — a pure function of
     (seed, absolute position), NOT of the window that computes it.
@@ -75,8 +75,16 @@ def _jitted_reverse_posnoise(model_cfg: ModelConfig, dt, hop: int,
     path's per-row device noise (_jitted_reverse_devnoise).
 
     Rows carry their window's first absolute frame ``w0``; ``pcm16``
-    quantizes on device as in the serving path (halves readback)."""
-    def f(params, seed, w0s, temps, c, g=None):
+    quantizes on device as in the serving path (halves readback).
+
+    ``keep`` (static, samples) trims each row's halo ON DEVICE: the fn
+    gains a per-row start-sample arg ``k0s`` and returns
+    ``[rows, keep, 1]`` — only each window's CENTER crosses the wire,
+    cutting readback by the window/chunk overlap ratio (the halo is
+    context, never output).  Callers must pre-clamp k0 to
+    ``W*hop - keep`` (lax.dynamic_slice clamps silently, which would
+    shift the content)."""
+    def f(params, seed, w0s, temps, c, g=None, k0s=None):
         W = c.shape[1]
 
         def row(w0, t):
@@ -87,10 +95,28 @@ def _jitted_reverse_posnoise(model_cfg: ModelConfig, dt, hop: int,
 
         z = jax.vmap(row)(w0s, temps)
         wav = reverse(params, model_cfg, z, c, g, compute_dtype=dt)
+        if keep is not None:
+            wav = jax.vmap(
+                lambda w, k0: jax.lax.dynamic_slice_in_dim(w, k0, keep))(
+                    wav, k0s)
         if pcm16:
             wav = jnp.clip(jnp.round(wav.astype(jnp.float32) * 32768.0),
                            -32768, 32767).astype(jnp.int16)
         return wav
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_reverse_trim(model_cfg: ModelConfig, dt, keep: int):
+    """Reverse that returns only ``[B, keep, 1]`` starting at sample
+    ``k0`` (traced scalar): the streaming path's halo is context, not
+    output, so trimming it ON DEVICE cuts the result readback by the
+    window/chunk overlap ratio (2x at the TTFA-default plan).  The
+    caller pre-clamps k0 so the slice is in bounds — dynamic_slice
+    clamps silently, which would shift the content."""
+    def f(params, z, c, g=None, k0=0):
+        wav = reverse(params, model_cfg, z, c, g, compute_dtype=dt)
+        return jax.lax.dynamic_slice_in_dim(wav, k0, keep, axis=1)
     return jax.jit(f)
 
 
