@@ -316,3 +316,37 @@ def test_streaming_matches_full_reverse_causal():
     assert audio.shape == full.shape
     scale = np.abs(full).max()
     np.testing.assert_allclose(audio, full, atol=1e-4 * scale, rtol=0)
+
+
+def test_device_trim_clamped_final_window():
+    """Both trimmed paths slice each window's center ON DEVICE with a
+    pre-clamped start (synthesize._jitted_reverse_trim / the posnoise
+    kernel's k0s): when the final chunk over-runs the utterance
+    (total % chunk != 0), k0 hits its clamp (window*hop - keep) and the
+    host compensates with a shifted offset.  Pin that geometry against
+    the one-shot reverse explicitly."""
+    from flowavenet_tpu.synthesis.streaming import synthesize_time_parallel
+
+    params = _damped_params(jax.random.PRNGKey(12), CFG.model)
+    rng = np.random.RandomState(61)
+    frames = 50
+    mel = rng.rand(frames, CFG.audio.num_mels).astype(np.float32)
+    hop = CFG.audio.hop_size
+
+    # chunk 12 -> plan rounds to alignment; pick one where the last
+    # window is over-long (start + chunk > total)
+    plan = plan_chunks(CFG, frames, chunk_frames=12)
+    assert plan.n_chunks * plan.chunk_frames > plan.total_frames, plan
+
+    serial = synthesize_streaming(params, CFG, mel, seed=21, temp=0.7,
+                                  chunk_frames=12)
+    par = synthesize_time_parallel(params, CFG, mel, seed=21, temp=0.7,
+                                   chunk_frames=12, rows_per_pass=3)
+    z = np.random.RandomState(21).randn(
+        plan.total_frames * hop).astype(np.float32) * 0.7
+    full = reverse(params, CFG.model, jnp.asarray(z)[None, :, None],
+                   jnp.asarray(mel[: plan.total_frames])[None])
+    full = np.asarray(full[0, :, 0], np.float32)
+    scale = np.abs(full).max()
+    np.testing.assert_allclose(serial, full, atol=1e-4 * scale, rtol=0)
+    np.testing.assert_allclose(par, full, atol=1e-4 * scale, rtol=0)
