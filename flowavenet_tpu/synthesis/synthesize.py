@@ -278,8 +278,15 @@ def dispatch_mels(params, cfg: Config, mels: list[np.ndarray],
 def materialize_wavs(wav, frames, cfg: Config) -> list[np.ndarray]:
     """Block on a :func:`dispatch_mels` result and crop each row back to
     its true length.  Rows are float32, or int16 when the dispatch used
-    ``pcm16=True`` (the bytes come back already PCM-quantized)."""
+    ``pcm16=True`` (the bytes come back already PCM-quantized).
+
+    Zero-padded batch rows (``pad_batch`` / ``batch_multiple`` round the
+    row count up, 2x worst case) are sliced off ON DEVICE before the
+    transfer — only real rows cross the wire.  Row counts are bounded by
+    the pow2 bucketing, so the per-count slice kernels stay few."""
     hop = cfg.audio.hop_size
+    if wav.shape[0] > len(frames):
+        wav = wav[: len(frames)]
     if wav.dtype == jnp.int16:
         wav = np.asarray(wav)
     else:
