@@ -62,6 +62,16 @@ class ModelConfig:
     # memory pressure) and raises the max train batch from 32 to 128+
     # (1.42 M samples/s at b128).  No effect on numerics or inference.
     remat: bool = True
+    # Soft bound on every coupling's log_s: log_s' = B * tanh(log_s / B)
+    # (0.0 = off = exact reference family).  Bounds the per-flow scale to
+    # exp(±B) in BOTH directions, so the flow stays invertible and the
+    # logdet uses the bounded value — a structural fix for the measured
+    # flagship divergence mode (unbounded log_s growth on an overfit
+    # corpus, docs/benchmarks.md).  Changes the model family: checkpoints
+    # are only compatible across equal values, and the fused Pallas pair
+    # kernels (which bake exp(log_s) in-kernel) are bypassed when set —
+    # synthesis falls back to the XLA scans.
+    logs_clamp: float = 0.0
 
     @property
     def hop_size(self) -> int:
@@ -105,6 +115,13 @@ class TrainConfig:
     # Cost: XLA fuses the where-selects into the optimizer update — the
     # flagship b128 train step measured 575.4 vs 574.8 ms (noise-level).
     skip_nonfinite_updates: bool = True
+    # L2 penalty weight on the couplings' log_s outputs (mean of log_s^2
+    # added to the NLL; 0.0 = off).  Training-only — the model family and
+    # synthesis are untouched.  Counteracts the measured divergence mode
+    # where -mean(log_s) grows without bound chasing logdet on an overfit
+    # corpus; metrics log the penalty and max|log_s| so the dynamics are
+    # observable either way (training/train_state.py).
+    logs_l2: float = 0.0
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8

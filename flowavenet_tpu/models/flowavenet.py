@@ -83,10 +83,29 @@ def actnorm_ddi(x: jax.Array) -> dict:
 # Affine coupling (model.py:108-164)
 # ---------------------------------------------------------------------------
 
+def _bound_log_s(log_s: jax.Array, clamp: float) -> jax.Array:
+    """Soft bound log_s to (-clamp, clamp) via clamp*tanh(log_s/clamp)
+    (ModelConfig.logs_clamp; 0.0 = identity = exact reference family).
+    Smooth and odd, so the flow stays exactly invertible — forward and
+    reverse both apply the SAME bounded value."""
+    if clamp <= 0.0:
+        return log_s
+    c = jnp.asarray(clamp, log_s.dtype)
+    return c * jnp.tanh(log_s / c)
+
+
+def _log_s_stats(log_s: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(max |log_s|, sum log_s^2) in fp32 — the divergence-diagnosis
+    scalars (VERDICT r3: unbounded log_s growth preceded the flagship
+    NaN, and nothing logged it)."""
+    ls = log_s.astype(jnp.float32)
+    return jnp.max(jnp.abs(ls)), jnp.sum(ls * ls)
+
+
 def coupling_forward(p: dict, x: jax.Array, c: jax.Array,
                      g: Optional[jax.Array], *, affine: bool, causal: bool,
-                     use_pallas: bool = False
-                     ) -> tuple[jax.Array, jax.Array]:
+                     use_pallas: bool = False, logs_clamp: float = 0.0,
+                     stats: bool = False):
     in_a, in_b = jnp.split(x, 2, axis=2)
     c_a = jnp.split(c, 2, axis=2)[0]
     g_a = jnp.split(g, 2, axis=2)[0] if g is not None else None
@@ -95,17 +114,25 @@ def coupling_forward(p: dict, x: jax.Array, c: jax.Array,
                             use_pallas=use_pallas)
     if affine:
         log_s, t = jnp.split(net_out, 2, axis=2)
+        log_s = _bound_log_s(log_s, logs_clamp)
         out_b = (in_b - t) * jnp.exp(-log_s)
         logdet = jnp.mean(-log_s.astype(jnp.float32)) / 2.0
     else:
+        log_s = None
         out_b = in_b + net_out
         logdet = jnp.asarray(0.0, jnp.float32)
-    return jnp.concatenate([in_a, out_b], axis=2), logdet
+    out = jnp.concatenate([in_a, out_b], axis=2)
+    if stats:
+        zero = jnp.asarray(0.0, jnp.float32)
+        return out, logdet, (_log_s_stats(log_s) if log_s is not None
+                             else (zero, zero))
+    return out, logdet
 
 
 def coupling_reverse(p: dict, x: jax.Array, c: jax.Array,
                      g: Optional[jax.Array], *, affine: bool,
-                     causal: bool, use_pallas: bool = False) -> jax.Array:
+                     causal: bool, use_pallas: bool = False,
+                     logs_clamp: float = 0.0) -> jax.Array:
     out_a, out_b = jnp.split(x, 2, axis=2)
     c_a = jnp.split(c, 2, axis=2)[0]
     g_a = jnp.split(g, 2, axis=2)[0] if g is not None else None
@@ -114,6 +141,7 @@ def coupling_reverse(p: dict, x: jax.Array, c: jax.Array,
                             use_pallas=use_pallas)
     if affine:
         log_s, t = jnp.split(net_out, 2, axis=2)
+        log_s = _bound_log_s(log_s, logs_clamp)
         in_b = out_b * jnp.exp(log_s) + t
     else:
         in_b = out_b - net_out
@@ -153,12 +181,13 @@ def _flow_step_fwd(cfg: ModelConfig, has_g: bool):
         else:
             (x, c), g = carry, None
         x, ld_a = actnorm_forward(fp["actnorm"], x)
-        x, ld_c = coupling_forward(fp["coupling"], x, c, g,
-                                   affine=cfg.affine, causal=cfg.causal)
+        x, ld_c, st = coupling_forward(fp["coupling"], x, c, g,
+                                       affine=cfg.affine, causal=cfg.causal,
+                                       logs_clamp=cfg.logs_clamp, stats=True)
         x, c = change_order(x), change_order(c)
         if has_g:
-            return (x, c, change_order(g)), ld_a + ld_c
-        return (x, c), ld_a + ld_c
+            return (x, c, change_order(g)), (ld_a + ld_c, st)
+        return (x, c), (ld_a + ld_c, st)
     return step
 
 
@@ -193,20 +222,28 @@ def _an_half_rev(fp_an: dict, half: int, x: jax.Array) -> jax.Array:
 
 
 def _couple_halves(fp: dict, u: jax.Array, v: jax.Array, c_half, g_half,
-                   cfg: ModelConfig, reverse: bool, use_pallas: bool = False
-                   ) -> tuple[jax.Array, jax.Array]:
-    """Transform v given net(u).  Returns (v', logdet)."""
+                   cfg: ModelConfig, reverse: bool, use_pallas: bool = False,
+                   stats: bool = False):
+    """Transform v given net(u).  Returns (v', logdet) — plus the
+    (max|log_s|, sum log_s^2) diagnosis pair when ``stats``."""
     net_out = apply_wavenet(fp, u, c_half, g_half, causal=cfg.causal,
                             use_pallas=use_pallas)
+    zero = jnp.asarray(0.0, jnp.float32)
     if cfg.affine:
         log_s, t = jnp.split(net_out, 2, axis=2)
+        log_s = _bound_log_s(log_s, cfg.logs_clamp)
         if reverse:
-            return v * jnp.exp(log_s) + t, jnp.asarray(0.0, jnp.float32)
-        out = (v - t) * jnp.exp(-log_s)
-        return out, jnp.mean(-log_s.astype(jnp.float32)) / 2.0
-    if reverse:
-        return v - net_out, jnp.asarray(0.0, jnp.float32)
-    return v + net_out, jnp.asarray(0.0, jnp.float32)
+            out, ld = v * jnp.exp(log_s) + t, zero
+        else:
+            out = (v - t) * jnp.exp(-log_s)
+            ld = jnp.mean(-log_s.astype(jnp.float32)) / 2.0
+        if stats:
+            return out, ld, _log_s_stats(log_s)
+        return out, ld
+    out = (v - net_out) if reverse else (v + net_out)
+    if stats:
+        return out, zero, (zero, zero)
+    return out, zero
 
 
 def _an_logdet(fp_an: dict) -> jax.Array:
@@ -227,17 +264,18 @@ def _pair_step_fwd(cfg: ModelConfig, c_a, c_b, g_a, g_b):
         # flow 2i: actnorm, couple v|u, change_order (label swap)
         u = _an_half(even["actnorm"], 0, u)
         v = _an_half(even["actnorm"], 1, v)
-        v, ld0 = _couple_halves(even["coupling"], u, v, c_a, g_a, cfg,
-                                reverse=False)
+        v, ld0, st0 = _couple_halves(even["coupling"], u, v, c_a, g_a, cfg,
+                                     reverse=False, stats=True)
         # labels now: first half = v, second = u
         v = _an_half(odd["actnorm"], 0, v)
         u = _an_half(odd["actnorm"], 1, u)
-        u, ld1 = _couple_halves(odd["coupling"], v, u, c_b, g_b, cfg,
-                                reverse=False)
+        u, ld1, st1 = _couple_halves(odd["coupling"], v, u, c_b, g_b, cfg,
+                                     reverse=False, stats=True)
         # second change_order restores original labeling
         ld = (_an_logdet(even["actnorm"]) + _an_logdet(odd["actnorm"])
               + ld0 + ld1)
-        return (u, v), ld
+        st = (jnp.maximum(st0[0], st1[0]), st0[1] + st1[1])
+        return (u, v), (ld, st)
     return step
 
 
@@ -428,8 +466,10 @@ def _pair_kernel_eligible(cfg: ModelConfig, has_g: bool) -> bool:
     conditioning.  Which VARIANT runs is decided by _pair_kernel_mode."""
     if jax.default_backend() == "cpu" and not PAIR_KERNEL_CPU_INTERPRET:
         return False
+    # logs_clamp rewrites the affine update (exp(B*tanh(log_s/B))) — the
+    # kernels bake the unbounded exp(log_s); fall back to the XLA scans.
     return (cfg.use_pallas and not has_g and cfg.affine and not cfg.causal
-            and cfg.n_layer == 2)
+            and cfg.n_layer == 2 and cfg.logs_clamp == 0.0)
 
 
 def _pair_kernel_mode(cfg: ModelConfig, cc_half: int,
@@ -467,10 +507,20 @@ def _pair_step_rev(cfg: ModelConfig, c_a, c_b, g_a, g_b,
     return step
 
 
-def block_forward(p: dict, cfg: ModelConfig, x, c, g):
+def block_forward(p: dict, cfg: ModelConfig, x, c, g, *,
+                  return_stats: bool = False):
+    """Forward through one block.  Returns (x, c, g, logdet); with
+    ``return_stats`` a fifth element (max|log_s|, sum log_s^2) is
+    appended (fp32 scalars over every coupling in the block)."""
     x, c = squeeze(x), squeeze(c)
     g = squeeze(g) if g is not None else None
     has_g = g is not None
+    zero = jnp.asarray(0.0, jnp.float32)
+
+    def out(x, c, g, ld, st):
+        if return_stats:
+            return x, c, g, ld, st
+        return x, c, g, ld
 
     if cfg.n_flow % 2 == 0:
         u, v = jnp.split(x, 2, axis=2)
@@ -479,7 +529,9 @@ def block_forward(p: dict, cfg: ModelConfig, x, c, g):
         if (PAIR_KERNEL_FWD and _pair_kernel_eligible(cfg, has_g)
                 and c_a.shape[-1] <= PAIR_KERNEL_FWD_MAX_CC):
             # fused forward pair kernel (custom_vjp; no jax.checkpoint —
-            # the vjp's input-only residuals already ARE the remat policy)
+            # the vjp's input-only residuals already ARE the remat policy).
+            # log_s never materializes whole here, so the divergence stats
+            # read 0 under FWN_FWD_KERNEL=1 (a measured-rejected knob).
             interp = jax.default_backend() == "cpu"
             pp = _pair_params(p)
             B, T_lvl, r_in = u.shape
@@ -496,23 +548,25 @@ def block_forward(p: dict, cfg: ModelConfig, x, c, g):
             # mean(-log_s)/2 per coupling (model.py:135): raw sums are over
             # [B, T_lvl, r_in] half-tensors
             ld = ld + raw / (B * T_lvl * r_in) / 2.0
-            return (jnp.concatenate([u, v], axis=2), c, g, ld)
+            return out(jnp.concatenate([u, v], axis=2), c, g, ld,
+                       (zero, zero))
         step = _pair_step_fwd(cfg, c_a, c_b, g_a, g_b)
         if cfg.remat:
             step = jax.checkpoint(step, prevent_cse=False)
-        (u, v), lds = jax.lax.scan(step, (u, v), _pair_params(p))
-        return (jnp.concatenate([u, v], axis=2), c, g, jnp.sum(lds))
+        (u, v), (lds, sts) = jax.lax.scan(step, (u, v), _pair_params(p))
+        return out(jnp.concatenate([u, v], axis=2), c, g, jnp.sum(lds),
+                   (jnp.max(sts[0]), jnp.sum(sts[1])))
 
     step = _flow_step_fwd(cfg, has_g)
     if cfg.remat:
         step = jax.checkpoint(step, prevent_cse=False)
     carry = (x, c, g) if has_g else (x, c)
-    carry, lds = jax.lax.scan(step, carry, p["flows"])
+    carry, (lds, sts) = jax.lax.scan(step, carry, p["flows"])
     if has_g:
         x, c, g = carry
     else:
         x, c = carry
-    return x, c, g, jnp.sum(lds)
+    return out(x, c, g, jnp.sum(lds), (jnp.max(sts[0]), jnp.sum(sts[1])))
 
 
 def _flow_step_rev(cfg: ModelConfig, has_g: bool, use_pallas: bool = False):
@@ -525,7 +579,8 @@ def _flow_step_rev(cfg: ModelConfig, has_g: bool, use_pallas: bool = False):
         x, c = change_order(x), change_order(c)
         x = coupling_reverse(fp["coupling"], x, c, g,
                              affine=cfg.affine, causal=cfg.causal,
-                             use_pallas=use_pallas)
+                             use_pallas=use_pallas,
+                             logs_clamp=cfg.logs_clamp)
         x = actnorm_reverse(fp["actnorm"], x)
         if has_g:
             return (x, c, g), None
@@ -714,7 +769,8 @@ def _flow_step_ddi(cfg: ModelConfig, has_g: bool):
         an = actnorm_ddi(x)
         x, _ = actnorm_forward(an, x)
         x, _ = coupling_forward(fp["coupling"], x, c, g,
-                                affine=cfg.affine, causal=cfg.causal)
+                                affine=cfg.affine, causal=cfg.causal,
+                                logs_clamp=cfg.logs_clamp)
         x, c = change_order(x), change_order(c)
         if has_g:
             return (x, c, change_order(g)), an
@@ -816,22 +872,46 @@ def _prepare_cond(params: dict, cfg: ModelConfig, c: jax.Array,
 
 
 def forward(params: dict, cfg: ModelConfig, x: jax.Array, c: jax.Array,
-            g: Optional[jax.Array] = None, compute_dtype=jnp.float32
-            ) -> tuple[jax.Array, jax.Array]:
+            g: Optional[jax.Array] = None, compute_dtype=jnp.float32,
+            return_stats: bool = False):
     """NLL forward pass.  x: [B, T, 1] audio; c: [B, T/hop, num_mels] mel;
     g: [B] int speaker ids.  Returns fp32 (log_p, logdet) in nats/dim
-    (model.py:342-347)."""
+    (model.py:342-347).
+
+    ``return_stats`` appends a dict of divergence-diagnosis scalars:
+    per-block logdets, max|log_s| over every coupling, and mean(log_s^2)
+    (the quantity TrainConfig.logs_l2 penalizes)."""
     _check_shapes(cfg, x, c)
     x = x.astype(compute_dtype)
     c, g_emb = _prepare_cond(params, cfg, c, g, compute_dtype)
 
     logdet = jnp.asarray(0.0, jnp.float32)
     out = x
+    block_lds = []
+    max_ls = jnp.asarray(0.0, jnp.float32)
+    sumsq_ls = jnp.asarray(0.0, jnp.float32)
+    n_ls = 0
     for bp in params["blocks"]:
-        out, c, g_emb, ld = block_forward(bp, cfg, out, c, g_emb)
+        if return_stats:
+            out, c, g_emb, ld, st = block_forward(bp, cfg, out, c, g_emb,
+                                                  return_stats=True)
+            max_ls = jnp.maximum(max_ls, st[0])
+            sumsq_ls = sumsq_ls + st[1]
+            # each coupling's log_s is a half-tensor of the block's
+            # squeezed x: B * T_lvl * C_lvl/2 == x.size/2 elements, per flow
+            n_ls += cfg.n_flow * out.shape[0] * out.shape[1] \
+                * out.shape[2] // 2
+            block_lds.append(ld)
+        else:
+            out, c, g_emb, ld = block_forward(bp, cfg, out, c, g_emb)
         logdet = logdet + ld
     z32 = out.astype(jnp.float32)
     log_p = jnp.mean(0.5 * (-LOG_2PI - z32 * z32))
+    if return_stats:
+        stats = {f"logdet_block{i}": ld for i, ld in enumerate(block_lds)}
+        stats["max_log_s"] = max_ls
+        stats["logs_mean_sq"] = sumsq_ls / max(n_ls, 1)
+        return log_p, logdet, stats
     return log_p, logdet
 
 
@@ -962,10 +1042,24 @@ def ddi(params: dict, cfg: ModelConfig, x: jax.Array, c: jax.Array,
 
 
 def loss_fn(params: dict, cfg: ModelConfig, x, c, g=None,
-            compute_dtype=jnp.float32) -> tuple[jax.Array, dict]:
+            compute_dtype=jnp.float32, logs_l2: float = 0.0
+            ) -> tuple[jax.Array, dict]:
     """NLL = -(log_p + logdet) in nats/dim (train.py:60); aux metrics include
-    bits/dim for the published baseline metric."""
-    log_p, logdet = forward(params, cfg, x, c, g, compute_dtype)
+    bits/dim for the published baseline metric, plus divergence-diagnosis
+    scalars (per-block logdet, max|log_s|, mean log_s^2 — VERDICT r3: the
+    flagship NaN's precursor was unlogged log_s growth).
+
+    ``logs_l2`` > 0 adds logs_l2 * mean(log_s^2) to the OPTIMIZED loss
+    (TrainConfig.logs_l2); aux["loss"] stays the pure NLL for
+    reference-comparable curves, aux["logs_penalty"] reports the term."""
+    log_p, logdet, stats = forward(params, cfg, x, c, g, compute_dtype,
+                                   return_stats=True)
     loss = -(log_p + logdet)
-    return loss, {"loss": loss, "log_p": log_p, "logdet": logdet,
-                  "bits_per_dim": loss / math.log(2.0)}
+    aux = {"loss": loss, "log_p": log_p, "logdet": logdet,
+           "bits_per_dim": loss / math.log(2.0), **stats}
+    total = loss
+    if logs_l2 > 0.0:
+        penalty = logs_l2 * stats["logs_mean_sq"]
+        aux["logs_penalty"] = penalty
+        total = loss + penalty
+    return total, aux

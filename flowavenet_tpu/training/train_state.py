@@ -49,14 +49,25 @@ def make_train_step(cfg: Config):
 
         def loss_of(p):
             return loss_fn(p, cfg.model, batch["audio"], batch["mel"], g,
-                           compute_dtype=dt)
+                           compute_dtype=dt, logs_l2=cfg.train.logs_l2)
 
         (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(
             state.params)
         grad_norm = optax.global_norm(grads)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        # Divergence watch (VERDICT r3): the flagship NaN's precursors —
+        # coupling log_s growth (in aux via loss_fn) and ActNorm scale
+        # growth — must be readable off the JSONL, not reconstructed
+        # post-mortem.  Both reductions are over parameters (tiny next to
+        # the grads), so the cost is noise.
+        an_max = jnp.asarray(0.0, jnp.float32)
+        for bp in state.params["blocks"]:
+            an_max = jnp.maximum(an_max, jnp.max(jnp.abs(
+                bp["flows"]["actnorm"]["logs"].astype(jnp.float32) * 3.0)))
         metrics = {**aux, "grad_global_norm": grad_norm,
+                   "param_global_norm": optax.global_norm(state.params),
+                   "actnorm_max_logs3": an_max,
                    "learning_rate": schedule(state.step)}
         if cfg.train.skip_nonfinite_updates:
             # one divergent step must not poison the params: pass the old

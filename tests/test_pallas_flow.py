@@ -550,7 +550,7 @@ def test_hoisted_in_model_routing(key, rng, monkeypatch):
 # ---------------------------------------------------------------------------
 
 def _xla_pair_forward(bp, cfg, u, v, c_a, c_b):
-    (u, v), lds = jax.lax.scan(
+    (u, v), (lds, _) = jax.lax.scan(
         fwn._pair_step_fwd(cfg, c_a, c_b, None, None), (u, v),
         fwn._pair_params(bp))
     return u, v, jnp.sum(lds)
