@@ -484,8 +484,8 @@ def _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref, cbt_ref,
             v = _mask_valid(v, row0 + 10, T)
 
     extra = halo - 10 * n_pair  # alignment slack: crop to the tile
-    u_out[0] = jax.lax.slice_in_dim(u, extra, extra + t_tile, axis=0)
-    v_out[0] = jax.lax.slice_in_dim(v, extra, extra + t_tile, axis=0)
+    u_out[0, 0] = jax.lax.slice_in_dim(u, extra, extra + t_tile, axis=0)
+    v_out[0, 0] = jax.lax.slice_in_dim(v, extra, extra + t_tile, axis=0)
 
 
 def _pair_kernel_i8(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
@@ -919,12 +919,20 @@ def fused_chain_reverse(u, v, c_a, c_b, operands, *, n_pair: int,
             tile_spec(Cc), halo_spec(Cc),
         ] + [wspec] * len(operands) + extra_specs,
         out_specs=[
-            pl.BlockSpec((1, t_tile, R_in), out_map,
+            pl.BlockSpec((1, 1, t_tile, R_in), in_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_tile, R_in), out_map,
+            pl.BlockSpec((1, 1, t_tile, R_in), in_map,
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((B, T_pad, R_in), dtype)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((B, n_t, t_tile, R_in), dtype)] * 2,
+        # u/v tiles alias the outputs: the early blocks' tiny channel
+        # counts (R_in = 1..16) force the custom call's tiled layout to
+        # pad lanes up to 128x, so each of these four buffers is ~3.3 GB
+        # at the b128 x 9.76 s bench shape (26 MB of data!) — aliasing
+        # halves that, which is what un-OOMs long clips (tools/
+        # hbm_audit.py).  Safe: each grid step reads only its own tile
+        # (+ separately-copied halo slivers) before writing it.
+        input_output_aliases={0: 0, 2: 1},
         cost_estimate=pl.CostEstimate(
             flops=2 * B * n_pair * flops_net,
             bytes_accessed=(ut.size + vt.size + cat.size + cbt.size
@@ -937,6 +945,8 @@ def fused_chain_reverse(u, v, c_a, c_b, operands, *, n_pair: int,
             vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(ut, uh, vt, vh, cat, cah, cbt, cbh, *operands, *extra_in)
+    u2 = u2.reshape(B, T_pad, R_in)
+    v2 = v2.reshape(B, T_pad, R_in)
     if T_pad != T:
         u2, v2 = u2[:, :T], v2[:, :T]
     return u2, v2

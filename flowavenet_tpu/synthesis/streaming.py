@@ -174,6 +174,19 @@ def stream_reverse(params, cfg: Config, mel: np.ndarray,
     keep = plan.chunk_frames * hop
     wf_hop = plan.window_frames * hop
     fn = _jitted_reverse_trim(cfg.model, dt, keep)
+
+    def materialize(dev_wav, start, stop, off):
+        wav = np.asarray(dev_wav[0, :, 0].astype(jnp.float32))
+        return start * hop, wav[off: off + (stop - start) * hop]
+
+    # One window stays IN FLIGHT: window k+1 is prepared and dispatched
+    # before window k's result is materialized, so the device computes
+    # k+1 while k's readback + the next host prep run — the same overlap
+    # synthesize_time_parallel uses.  jax dispatch is asynchronous, so
+    # fn() returns immediately and only np.asarray blocks.  Yield order
+    # (and every yielded byte) is unchanged; TTFA pays only window 1's
+    # host prep (~ms) extra.
+    pending = None
     # aligned fixed-size windows, clamped into the utterance — geometry
     # shared with synthesize_time_parallel via _window_starts
     for start, stop, w0 in _window_starts(plan):
@@ -194,9 +207,11 @@ def stream_reverse(params, cfg: Config, mel: np.ndarray,
             zj, cj = put(zj), put(cj)
         k0 = min((start - w0) * hop, wf_hop - keep)
         wav = fn(params, zj, cj, g, k0)
-        wav = np.asarray(wav[0, :, 0].astype(jnp.float32))
         off = (start - w0) * hop - k0
-        yield start * hop, wav[off: off + (stop - start) * hop]
+        if pending is not None:
+            yield materialize(*pending)
+        pending = (wav, start, stop, off)
+    yield materialize(*pending)
 
 
 def synthesize_streaming(params, cfg: Config, mel: np.ndarray,

@@ -85,6 +85,11 @@ def _jitted_reverse_posnoise(model_cfg: ModelConfig, dt, hop: int,
     ``W*hop - keep`` (lax.dynamic_slice clamps silently, which would
     shift the content)."""
     def f(params, seed, w0s, temps, c, g=None, k0s=None):
+        if keep is not None and k0s is None:
+            # caught at trace time — vmapping dynamic_slice over None
+            # would otherwise raise an opaque tree-structure error
+            raise ValueError("keep (device-side halo trim) requires "
+                             "per-row start samples k0s")
         W = c.shape[1]
 
         def row(w0, t):
@@ -283,10 +288,19 @@ def materialize_wavs(wav, frames, cfg: Config) -> list[np.ndarray]:
     Zero-padded batch rows (``pad_batch`` / ``batch_multiple`` round the
     row count up, 2x worst case) are sliced off ON DEVICE before the
     transfer — only real rows cross the wire.  Row counts are bounded by
-    the pow2 bucketing, so the per-count slice kernels stay few."""
+    the pow2 bucketing, so the per-count slice kernels stay few.  When
+    the batch axis is sharded (multi-device serving), the device slice
+    is rounded UP to the shard extent — a finer cut would force a
+    cross-device reshard just to drop pad rows; the remainder is cropped
+    by the per-row host slices below."""
     hop = cfg.audio.hop_size
-    if wav.shape[0] > len(frames):
-        wav = wav[: len(frames)]
+    n_keep = len(frames)
+    shard0 = getattr(wav, "sharding", None)
+    if shard0 is not None and not shard0.is_fully_replicated:
+        ext = wav.shape[0] // shard0.shard_shape(wav.shape)[0]
+        n_keep = min(-(-n_keep // ext) * ext, wav.shape[0])
+    if wav.shape[0] > n_keep:
+        wav = wav[:n_keep]
     if wav.dtype == jnp.int16:
         wav = np.asarray(wav)
     else:
