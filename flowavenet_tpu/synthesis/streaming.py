@@ -184,9 +184,13 @@ def stream_reverse(params, cfg: Config, mel: np.ndarray,
     # k+1 while k's readback + the next host prep run — the same overlap
     # synthesize_time_parallel uses.  jax dispatch is asynchronous, so
     # fn() returns immediately and only np.asarray blocks.  Yield order
-    # (and every yielded byte) is unchanged; TTFA pays only window 1's
-    # host prep (~ms) extra.
+    # (and every yielded byte) is unchanged.  The FIRST window is NOT
+    # pipelined: time-to-first-audio is this path's reason to exist, and
+    # queueing window 2's upload before window 1's readback measured
+    # +27 ms of TTFA through the tunnel (100.4 vs 73.8 ms) for nothing —
+    # the overlap only pays from window 2 onward.
     pending = None
+    first = True
     # aligned fixed-size windows, clamped into the utterance — geometry
     # shared with synthesize_time_parallel via _window_starts
     for start, stop, w0 in _window_starts(plan):
@@ -208,10 +212,15 @@ def stream_reverse(params, cfg: Config, mel: np.ndarray,
         k0 = min((start - w0) * hop, wf_hop - keep)
         wav = fn(params, zj, cj, g, k0)
         off = (start - w0) * hop - k0
+        if first:
+            yield materialize(wav, start, stop, off)
+            first = False
+            continue
         if pending is not None:
             yield materialize(*pending)
         pending = (wav, start, stop, off)
-    yield materialize(*pending)
+    if pending is not None:
+        yield materialize(*pending)
 
 
 def synthesize_streaming(params, cfg: Config, mel: np.ndarray,

@@ -59,6 +59,15 @@ def main() -> None:
                         "conditioning widths, which tiny never reaches")
     p.add_argument("--ref_wavs",
                    default="/root/reference/examples/original")
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="override cfg.data.batch_size for the training leg")
+    p.add_argument("--logs_l2", type=float, default=None,
+                   help="TrainConfig.logs_l2 for the training leg (the "
+                        "log_s L2 divergence mitigation; training-only, "
+                        "model family unchanged)")
+    p.add_argument("--summary_interval", type=int, default=None,
+                   help="metrics JSONL cadence (default: steps/10) — the "
+                        "long-run divergence study wants dense curves")
     args = p.parse_args()
 
     import jax
@@ -81,6 +90,12 @@ def main() -> None:
     os.makedirs(work, exist_ok=True)
     print(f"workdir: {work}")
     cfg = get_config(args.config)
+    if args.batch_size is not None:
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, batch_size=args.batch_size))
+    if args.logs_l2 is not None:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, logs_l2=args.logs_l2))
     sr = cfg.audio.sample_rate
 
     # 1. corpus from the reference's 6 sample utterances
@@ -105,7 +120,8 @@ def main() -> None:
     # 2. train tiny on real speech (restore if the workdir already has it)
     logdir = os.path.join(work, "logs")
     train(cfg, data_dir, logdir, restore=True, train_steps=args.steps,
-          summary_interval=max(1, args.steps // 10),
+          summary_interval=args.summary_interval
+          or max(1, args.steps // 10),
           checkpoint_interval=max(1, args.steps // 3),
           eval_interval=10 ** 9)
 
