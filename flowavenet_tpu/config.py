@@ -62,6 +62,13 @@ class ModelConfig:
     # memory pressure) and raises the max train batch from 32 to 128+
     # (1.42 M samples/s at b128).  No effect on numerics or inference.
     remat: bool = True
+    # With remat on, rematerialize only the first N blocks' flow steps
+    # (-1 = all).  The deep blocks' activations shrink geometrically
+    # (time halves per block while the coupling nets stay 256-wide), so
+    # saving them costs little HBM while deleting their backward-pass
+    # recompute — a remat-policy middle ground between full recompute
+    # and the OOM of no remat at large batch (tools/bench_train_phases).
+    remat_blocks: int = -1
     # Soft bound on every coupling's log_s: log_s' = B * tanh(log_s / B)
     # (0.0 = off = exact reference family).  Bounds the per-flow scale to
     # exp(±B) in BOTH directions, so the flow stays invertible and the

@@ -508,10 +508,13 @@ def _pair_step_rev(cfg: ModelConfig, c_a, c_b, g_a, g_b,
 
 
 def block_forward(p: dict, cfg: ModelConfig, x, c, g, *,
-                  return_stats: bool = False):
+                  return_stats: bool = False, remat: bool | None = None):
     """Forward through one block.  Returns (x, c, g, logdet); with
     ``return_stats`` a fifth element (max|log_s|, sum log_s^2) is
-    appended (fp32 scalars over every coupling in the block)."""
+    appended (fp32 scalars over every coupling in the block).
+    ``remat`` overrides cfg.remat for THIS block (forward() uses it to
+    implement cfg.remat_blocks' selective policy)."""
+    do_remat = cfg.remat if remat is None else remat
     x, c = squeeze(x), squeeze(c)
     g = squeeze(g) if g is not None else None
     has_g = g is not None
@@ -551,14 +554,14 @@ def block_forward(p: dict, cfg: ModelConfig, x, c, g, *,
             return out(jnp.concatenate([u, v], axis=2), c, g, ld,
                        (zero, zero))
         step = _pair_step_fwd(cfg, c_a, c_b, g_a, g_b)
-        if cfg.remat:
+        if do_remat:
             step = jax.checkpoint(step, prevent_cse=False)
         (u, v), (lds, sts) = jax.lax.scan(step, (u, v), _pair_params(p))
         return out(jnp.concatenate([u, v], axis=2), c, g, jnp.sum(lds),
                    (jnp.max(sts[0]), jnp.sum(sts[1])))
 
     step = _flow_step_fwd(cfg, has_g)
-    if cfg.remat:
+    if do_remat:
         step = jax.checkpoint(step, prevent_cse=False)
     carry = (x, c, g) if has_g else (x, c)
     carry, (lds, sts) = jax.lax.scan(step, carry, p["flows"])
@@ -891,10 +894,13 @@ def forward(params: dict, cfg: ModelConfig, x: jax.Array, c: jax.Array,
     max_ls = jnp.asarray(0.0, jnp.float32)
     sumsq_ls = jnp.asarray(0.0, jnp.float32)
     n_ls = 0
-    for bp in params["blocks"]:
+    rb = cfg.remat_blocks
+    for bi, bp in enumerate(params["blocks"]):
+        bl_remat = cfg.remat and (rb < 0 or bi < rb)
         if return_stats:
             out, c, g_emb, ld, st = block_forward(bp, cfg, out, c, g_emb,
-                                                  return_stats=True)
+                                                  return_stats=True,
+                                                  remat=bl_remat)
             max_ls = jnp.maximum(max_ls, st[0])
             sumsq_ls = sumsq_ls + st[1]
             # each coupling's log_s is a half-tensor of the block's
@@ -903,7 +909,8 @@ def forward(params: dict, cfg: ModelConfig, x: jax.Array, c: jax.Array,
                 * out.shape[2] // 2
             block_lds.append(ld)
         else:
-            out, c, g_emb, ld = block_forward(bp, cfg, out, c, g_emb)
+            out, c, g_emb, ld = block_forward(bp, cfg, out, c, g_emb,
+                                              remat=bl_remat)
         logdet = logdet + ld
     z32 = out.astype(jnp.float32)
     log_p = jnp.mean(0.5 * (-LOG_2PI - z32 * z32))

@@ -21,7 +21,12 @@ API:
                        headers: X-Speaker-Id (optional int),
                                 X-Seed (optional int),
                                 X-Temp (optional float)
-                       response = 16-bit PCM WAV bytes
+                       response = 16-bit PCM WAV bytes.  Mels longer than
+                       the service's max_frames are transparently routed
+                       through the streaming path server-side: same
+                       complete-WAV response contract (exact
+                       Content-Length), the bytes just leave
+                       progressively — clients need only ONE endpoint.
   POST /synthesize_stream
                        same body/headers (plus optional X-Chunk-Frames);
                        any mel length — the response is a progressively
@@ -95,7 +100,8 @@ class SynthesisService:
     def __init__(self, params, cfg: Config, *, max_batch: int = 16,
                  batch_window_ms: float = 10.0, bucket_frames: int = 60,
                  noise: str = "device", pcm16: Optional[bool] = None,
-                 max_frames: int = 4000, mesh=None):
+                 max_frames: int = 4000, mesh=None,
+                 max_dispatch_rows: int = 32):
         self.params = params
         self.cfg = cfg
         self._data_sharding = None
@@ -129,6 +135,15 @@ class SynthesisService:
             raise ValueError("pcm16=True requires noise='device'")
         self.pcm16 = pcm16
         self.max_frames = max_frames
+        # Groups larger than this dispatch as consecutive sub-batches:
+        # host prep of sub-batch k+1 then overlaps the device compute of
+        # sub-batch k (dispatch is non-blocking), instead of one long
+        # serial prep stalling the whole group.  Measured motivation:
+        # max_batch >= 64 doubled P50 for zero aggregate gain because the
+        # single-threaded per-group prep crossed the batch interval
+        # (docs/benchmarks.md serving table).  Sub-batches still pad to
+        # powers of two, so this REDUCES the set of compiled shapes.
+        self.max_dispatch_rows = max(1, max_dispatch_rows)
         self._submit_lock = threading.Lock()
         self._q: "queue.Queue[_Request]" = queue.Queue()
         # small bound = backpressure: at most 2 dispatched-but-unread
@@ -268,40 +283,47 @@ class SynthesisService:
             for r in batch:
                 groups.setdefault(self._bucket_key(r.mel), []).append(r)
             use_sid = (self.cfg.model.gin_channels > 0)
-            for group in groups.values():
-                try:
-                    sids = [r.speaker_id if r.speaker_id is not None else 0
-                            for r in group]
-                    wav, frames = dispatch_mels(
-                        self.params, self.cfg, [r.mel for r in group],
-                        seed=[r.seed for r in group],
-                        speaker_ids=sids if use_sid else None,
-                        temp=[r.temp for r in group],
-                        bucket_frames=self.bucket_frames,
-                        # batch sizes fluctuate with load: bucket them to
-                        # powers of two so a new group size never
-                        # recompiles the reverse (see synthesize_mels)
-                        pad_batch=True,
-                        noise=self.noise, pcm16=self.pcm16,
-                        data_sharding=self._data_sharding,
-                        batch_multiple=self._batch_multiple)
-                    # hand the un-materialized result to the completion
-                    # thread; blocks only when 2 groups are already in
-                    # flight (backpressure).  The block is readback-bound
-                    # waiting, not host work — account it separately so
-                    # busy_seconds measures actual prep+dispatch cost.
-                    tq = time.time()
-                    self._done_q.put((group, wav, frames))
-                    self.stats["backpressure_seconds"] += time.time() - tq
-                except Exception as e:  # surface errors to every waiter
-                    for r in group:
-                        r.error = f"{type(e).__name__}: {e}"
-                        r.done.set()
+            split = self.max_dispatch_rows
+            for whole in groups.values():
+                subgroups = [whole[i: i + split]
+                             for i in range(0, len(whole), split)]
+                for group in subgroups:
+                    self._dispatch_group(group, use_sid)
             self.stats["requests"] += len(batch)
             self.stats["batches"] += 1
             blocked = self.stats["backpressure_seconds"] - bp0
             self.stats["busy_seconds"] += time.time() - t0 - blocked
             self._inflight = []
+
+    def _dispatch_group(self, group: list, use_sid: bool) -> None:
+        try:
+            sids = [r.speaker_id if r.speaker_id is not None else 0
+                    for r in group]
+            wav, frames = dispatch_mels(
+                self.params, self.cfg, [r.mel for r in group],
+                seed=[r.seed for r in group],
+                speaker_ids=sids if use_sid else None,
+                temp=[r.temp for r in group],
+                bucket_frames=self.bucket_frames,
+                # batch sizes fluctuate with load: bucket them to
+                # powers of two so a new group size never
+                # recompiles the reverse (see synthesize_mels)
+                pad_batch=True,
+                noise=self.noise, pcm16=self.pcm16,
+                data_sharding=self._data_sharding,
+                batch_multiple=self._batch_multiple)
+            # hand the un-materialized result to the completion
+            # thread; blocks only when 2 groups are already in
+            # flight (backpressure).  The block is readback-bound
+            # waiting, not host work — account it separately so
+            # busy_seconds measures actual prep+dispatch cost.
+            tq = time.time()
+            self._done_q.put((group, wav, frames))
+            self.stats["backpressure_seconds"] += time.time() - tq
+        except Exception as e:  # surface errors to every waiter
+            for r in group:
+                r.error = f"{type(e).__name__}: {e}"
+                r.done.set()
 
     def _complete(self) -> None:
         while True:
@@ -435,6 +457,20 @@ def make_handler(service: SynthesisService):
                 seed = int(self.headers.get("X-Seed", "0"))
                 sid = self.headers.get("X-Speaker-Id")
                 temp = self.headers.get("X-Temp")
+                if (mel.ndim == 2 and mel.shape[0] > service.max_frames):
+                    # Long-form request on the one-shot endpoint: route it
+                    # through the server's OWN streaming path instead of
+                    # bouncing the client (an unbounded one-shot length
+                    # would compile a fresh flagship shape and hold every
+                    # batch companion hostage).  Same response contract —
+                    # a complete audio/wav body with exact Content-Length
+                    # — the bytes just go out progressively.
+                    self._stream_response(
+                        mel, seed=seed,
+                        speaker_id=int(sid) if sid is not None else None,
+                        temp=float(temp) if temp is not None else None,
+                        chunk_frames=None)
+                    return
                 wav = service.submit(
                     mel, seed=seed,
                     speaker_id=int(sid) if sid is not None else None,
@@ -467,17 +503,24 @@ def make_handler(service: SynthesisService):
                 sid = self.headers.get("X-Speaker-Id")
                 temp = self.headers.get("X-Temp")
                 chunk = self.headers.get("X-Chunk-Frames")
-                n_samples, chunks = service.stream(
+                self._stream_response(
                     mel, seed=seed,
                     speaker_id=int(sid) if sid is not None else None,
                     temp=float(temp) if temp is not None else None,
                     chunk_frames=int(chunk) if chunk is not None else None)
             except (ValueError, KeyError) as e:
                 self._json(400, {"error": str(e)})
-                return
             except Exception as e:
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
-                return
+
+        def _stream_response(self, mel, *, seed, speaker_id, temp,
+                             chunk_frames):
+            """Plan + validate (raising into the caller's error handling,
+            so failures still get proper statuses), then write a
+            progressive WAV with exact Content-Length."""
+            n_samples, chunks = service.stream(
+                mel, seed=seed, speaker_id=speaker_id, temp=temp,
+                chunk_frames=chunk_frames)
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Content-Length", str(44 + 2 * n_samples))

@@ -31,7 +31,8 @@ def test_upsample_matches_tf():
     np.testing.assert_allclose(np.array(out), fx["out"], atol=2e-5)
 
 
-@pytest.mark.parametrize("variant", ["", "causal", "additive", "gin"])
+@pytest.mark.parametrize("variant", ["", "causal", "additive", "gin",
+                                     "mid"])
 def test_full_model_nll_matches_tf(variant):
     """Full-model parity across the reference's variant matrix: the
     composed model (upsample -> squeeze -> ActNorm -> coupling/WaveNet ->
@@ -51,8 +52,16 @@ def test_full_model_nll_matches_tf(variant):
     from flowavenet_tpu.config import ModelConfig
     from flowavenet_tpu.models.flowavenet import forward, reverse
 
-    cfg = ModelConfig(n_block=2, n_flow=2, n_layer=2, filter_size=16,
-                      num_mels=8, upsample_scales=(4, 4),
+    # geometry rides in the fixture since the "mid" variant (4 blocks,
+    # filter 64, 32 mels — the importer-stress width where the four
+    # same-prefix 1x1s share shapes) differs from the tiny default
+    if "geom" in fx.files:
+        nb, nf, nl, fs, nm = (int(v) for v in fx["geom"])
+        scales = tuple(int(v) for v in fx["scales"])
+    else:
+        nb, nf, nl, fs, nm, scales = 2, 2, 2, 16, 8, (4, 4)
+    cfg = ModelConfig(n_block=nb, n_flow=nf, n_layer=nl, filter_size=fs,
+                      num_mels=nm, upsample_scales=scales,
                       causal=(variant == "causal"),
                       affine=(variant != "additive"),
                       gin_channels=4 if variant == "gin" else -1,

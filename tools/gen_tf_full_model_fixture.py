@@ -56,7 +56,20 @@ VARIANTS = {
     "causal": (True, True, 0),
     "additive": (False, False, 0),
     "gin": (True, False, GIN_CHANNELS),
+    # MID-WIDTH geometry (VERDICT r3 "importer stress"): 4 blocks,
+    # filter 64, 32 mels — at block 1 the cond half sq_c/2 = 64 equals
+    # filter_size, so filter_c/gate_c [1,64,64] share shapes with
+    # res/skip [1,64,64] inside every ResBlock prefix and the importer's
+    # keras-creation-order tie-break (tf_import.py) is load-bearing in a
+    # way the tiny fixture structurally cannot exercise.
+    "mid": (True, False, 0),
 }
+
+GEOMETRY = {
+    # name -> (n_block, filter_size, num_mels, frames)
+    "mid": (4, 64, 32, 8),
+}
+DEFAULT_GEOM = (N_BLOCK, FILTER_SIZE, NUM_MELS, FRAMES)
 
 rng = np.random.RandomState(2024)
 VARS: dict[str, np.ndarray] = {}
@@ -229,7 +242,11 @@ def apply_wavenet(w, x, c, causal=False):
 
 
 def generate(variant: str):
+    global N_BLOCK, FILTER_SIZE, NUM_MELS, FRAMES, T
     affine, causal, gin = VARIANTS[variant]
+    N_BLOCK, FILTER_SIZE, NUM_MELS, FRAMES = GEOMETRY.get(variant,
+                                                          DEFAULT_GEOM)
+    T = FRAMES * HOP
     _reset_state(2024 + sum(map(ord, variant)))
 
     x_np = (0.3 * rng.randn(B, T, 1)).astype(np.float32)
@@ -302,7 +319,10 @@ def generate(variant: str):
     out = {"x": x_np, "c": c_np,
            "log_p": np.float32(log_p.numpy()),
            "logdet": np.float32(logdet.numpy()),
-           "z": z.numpy()}
+           "z": z.numpy(),
+           "geom": np.array([N_BLOCK, N_FLOW, N_LAYER, FILTER_SIZE,
+                             NUM_MELS], np.int64),
+           "scales": np.array(UPSAMPLE_SCALES, np.int64)}
     if gin > 0:
         out["g"] = g_np
     for k, v in VARS.items():
