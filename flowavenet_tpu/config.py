@@ -129,6 +129,16 @@ class TrainConfig:
     # corpus; metrics log the penalty and max|log_s| so the dynamics are
     # observable either way (training/train_state.py).
     logs_l2: float = 0.0
+    # Hinge-squared penalty weight on |log_s| past LOGS_HINGE_MARGIN
+    # (flowavenet.py; 5.0, env FWN_HINGE_MARGIN).  EXACTLY ZERO in the
+    # healthy regime (measured runs keep max|log_s| < 4 while stable), so
+    # it is safe on by default; normalized like the logdet, so weight w
+    # stalls the measured runaway at |log_s| = margin + 1/(2w).  Chosen
+    # over logs_l2 after a 50k flagship run diverged UNDER logs_l2=0.1:
+    # the L2 pressures mean(log_s^2) (2.3 at blow-up) while the MAX ran
+    # 19 -> 36 (docs/benchmarks.md, divergence study).  Training-only —
+    # the model family, checkpoints, and synthesis are untouched.
+    logs_hinge: float = 1.0
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..utils.flags import INT8 as _INT8_FLAG, env_flag as _env_flag
-from ..utils.flags import env_int as _env_int
+from ..utils.flags import env_float as _env_float, env_int as _env_int
 from ..ops.squeeze import (change_order, squeeze, squeeze_level_cond_perm,
                            squeeze_to_level, unsqueeze)
 from .modules import apply_wavenet, init_wavenet
@@ -94,12 +94,24 @@ def _bound_log_s(log_s: jax.Array, clamp: float) -> jax.Array:
     return c * jnp.tanh(log_s / c)
 
 
-def _log_s_stats(log_s: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """(max |log_s|, sum log_s^2) in fp32 — the divergence-diagnosis
-    scalars (VERDICT r3: unbounded log_s growth preceded the flagship
-    NaN, and nothing logged it)."""
+# Threshold for the hinge regularizer's dead zone (TrainConfig.logs_hinge):
+# |log_s| below this contributes NOTHING to the penalty.  5.0 sits well
+# above the healthy training range (max|log_s| stayed under ~4 through the
+# first 10k steps of every measured run) and well below where exp(±log_s)
+# starts hurting numerics — the measured divergences passed ~8 only on
+# their way to 30+ (docs/benchmarks.md, flagship divergence study).
+LOGS_HINGE_MARGIN = _env_float("FWN_HINGE_MARGIN", 5.0)
+
+
+def _log_s_stats(
+        log_s: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(max |log_s|, sum log_s^2, sum relu(|log_s|-margin)^2) in fp32 —
+    the divergence-diagnosis scalars (VERDICT r3: unbounded log_s growth
+    preceded the flagship NaN, and nothing logged it) plus the hinge
+    penalty's raw sum (TrainConfig.logs_hinge)."""
     ls = log_s.astype(jnp.float32)
-    return jnp.max(jnp.abs(ls)), jnp.sum(ls * ls)
+    excess = jnp.maximum(jnp.abs(ls) - LOGS_HINGE_MARGIN, 0.0)
+    return jnp.max(jnp.abs(ls)), jnp.sum(ls * ls), jnp.sum(excess * excess)
 
 
 def coupling_forward(p: dict, x: jax.Array, c: jax.Array,
@@ -125,7 +137,7 @@ def coupling_forward(p: dict, x: jax.Array, c: jax.Array,
     if stats:
         zero = jnp.asarray(0.0, jnp.float32)
         return out, logdet, (_log_s_stats(log_s) if log_s is not None
-                             else (zero, zero))
+                             else (zero, zero, zero))
     return out, logdet
 
 
@@ -242,7 +254,7 @@ def _couple_halves(fp: dict, u: jax.Array, v: jax.Array, c_half, g_half,
         return out, ld
     out = (v - net_out) if reverse else (v + net_out)
     if stats:
-        return out, zero, (zero, zero)
+        return out, zero, (zero, zero, zero)
     return out, zero
 
 
@@ -274,7 +286,8 @@ def _pair_step_fwd(cfg: ModelConfig, c_a, c_b, g_a, g_b):
         # second change_order restores original labeling
         ld = (_an_logdet(even["actnorm"]) + _an_logdet(odd["actnorm"])
               + ld0 + ld1)
-        st = (jnp.maximum(st0[0], st1[0]), st0[1] + st1[1])
+        st = (jnp.maximum(st0[0], st1[0]), st0[1] + st1[1],
+              st0[2] + st1[2])
         return (u, v), (ld, st)
     return step
 
@@ -510,8 +523,9 @@ def _pair_step_rev(cfg: ModelConfig, c_a, c_b, g_a, g_b,
 def block_forward(p: dict, cfg: ModelConfig, x, c, g, *,
                   return_stats: bool = False, remat: bool | None = None):
     """Forward through one block.  Returns (x, c, g, logdet); with
-    ``return_stats`` a fifth element (max|log_s|, sum log_s^2) is
-    appended (fp32 scalars over every coupling in the block).
+    ``return_stats`` a fifth element (max|log_s|, sum log_s^2,
+    sum relu(|log_s|-margin)^2) is appended (fp32 scalars over every
+    coupling in the block).
     ``remat`` overrides cfg.remat for THIS block (forward() uses it to
     implement cfg.remat_blocks' selective policy)."""
     do_remat = cfg.remat if remat is None else remat
@@ -552,13 +566,13 @@ def block_forward(p: dict, cfg: ModelConfig, x, c, g, *,
             # [B, T_lvl, r_in] half-tensors
             ld = ld + raw / (B * T_lvl * r_in) / 2.0
             return out(jnp.concatenate([u, v], axis=2), c, g, ld,
-                       (zero, zero))
+                       (zero, zero, zero))
         step = _pair_step_fwd(cfg, c_a, c_b, g_a, g_b)
         if do_remat:
             step = jax.checkpoint(step, prevent_cse=False)
         (u, v), (lds, sts) = jax.lax.scan(step, (u, v), _pair_params(p))
         return out(jnp.concatenate([u, v], axis=2), c, g, jnp.sum(lds),
-                   (jnp.max(sts[0]), jnp.sum(sts[1])))
+                   (jnp.max(sts[0]), jnp.sum(sts[1]), jnp.sum(sts[2])))
 
     step = _flow_step_fwd(cfg, has_g)
     if do_remat:
@@ -569,7 +583,8 @@ def block_forward(p: dict, cfg: ModelConfig, x, c, g, *,
         x, c, g = carry
     else:
         x, c = carry
-    return out(x, c, g, jnp.sum(lds), (jnp.max(sts[0]), jnp.sum(sts[1])))
+    return out(x, c, g, jnp.sum(lds),
+               (jnp.max(sts[0]), jnp.sum(sts[1]), jnp.sum(sts[2])))
 
 
 def _flow_step_rev(cfg: ModelConfig, has_g: bool, use_pallas: bool = False):
@@ -890,9 +905,11 @@ def forward(params: dict, cfg: ModelConfig, x: jax.Array, c: jax.Array,
 
     logdet = jnp.asarray(0.0, jnp.float32)
     out = x
+    nel = x.size  # B*T*1; squeezes preserve it, so == every level's size
     block_lds = []
     max_ls = jnp.asarray(0.0, jnp.float32)
     sumsq_ls = jnp.asarray(0.0, jnp.float32)
+    hinge_ls = jnp.asarray(0.0, jnp.float32)
     n_ls = 0
     rb = cfg.remat_blocks
     for bi, bp in enumerate(params["blocks"]):
@@ -903,6 +920,7 @@ def forward(params: dict, cfg: ModelConfig, x: jax.Array, c: jax.Array,
                                                   remat=bl_remat)
             max_ls = jnp.maximum(max_ls, st[0])
             sumsq_ls = sumsq_ls + st[1]
+            hinge_ls = hinge_ls + st[2]
             # each coupling's log_s is a half-tensor of the block's
             # squeezed x: B * T_lvl * C_lvl/2 == x.size/2 elements, per flow
             n_ls += cfg.n_flow * out.shape[0] * out.shape[1] \
@@ -918,6 +936,13 @@ def forward(params: dict, cfg: ModelConfig, x: jax.Array, c: jax.Array,
         stats = {f"logdet_block{i}": ld for i, ld in enumerate(block_lds)}
         stats["max_log_s"] = max_ls
         stats["logs_mean_sq"] = sumsq_ls / max(n_ls, 1)
+        # Normalized EXACTLY like the logdet (sum over couplings of the
+        # per-coupling mean / 2 == raw sum / x.size), so the hinge weight
+        # trades one-for-one against the logdet's pull on log_s: per
+        # element, d(-logdet)/d log_s = 1/nel while d(hinge)/d log_s =
+        # 2*weight*excess/nel — weight w stalls runaway growth at
+        # |log_s| = margin + 1/(2w).
+        stats["logs_hinge"] = hinge_ls / max(nel, 1)
         return log_p, logdet, stats
     return log_p, logdet
 
@@ -1049,24 +1074,34 @@ def ddi(params: dict, cfg: ModelConfig, x: jax.Array, c: jax.Array,
 
 
 def loss_fn(params: dict, cfg: ModelConfig, x, c, g=None,
-            compute_dtype=jnp.float32, logs_l2: float = 0.0
-            ) -> tuple[jax.Array, dict]:
+            compute_dtype=jnp.float32, logs_l2: float = 0.0,
+            logs_hinge: float = 0.0) -> tuple[jax.Array, dict]:
     """NLL = -(log_p + logdet) in nats/dim (train.py:60); aux metrics include
     bits/dim for the published baseline metric, plus divergence-diagnosis
     scalars (per-block logdet, max|log_s|, mean log_s^2 — VERDICT r3: the
     flagship NaN's precursor was unlogged log_s growth).
 
     ``logs_l2`` > 0 adds logs_l2 * mean(log_s^2) to the OPTIMIZED loss
-    (TrainConfig.logs_l2); aux["loss"] stays the pure NLL for
-    reference-comparable curves, aux["logs_penalty"] reports the term."""
+    (TrainConfig.logs_l2).  ``logs_hinge`` > 0 adds a hinge-squared
+    penalty on |log_s| past LOGS_HINGE_MARGIN — EXACTLY ZERO in the
+    healthy regime, logdet-normalized so weight w stalls the measured
+    runaway mode at |log_s| = margin + 1/(2w) (the L2 alone failed a 50k
+    flagship run: it pressures the MEAN while the MAX runs away —
+    docs/benchmarks.md, divergence study).  aux["loss"] stays the pure
+    NLL for reference-comparable curves, aux["logs_penalty"] reports the
+    combined term."""
     log_p, logdet, stats = forward(params, cfg, x, c, g, compute_dtype,
                                    return_stats=True)
     loss = -(log_p + logdet)
     aux = {"loss": loss, "log_p": log_p, "logdet": logdet,
            "bits_per_dim": loss / math.log(2.0), **stats}
     total = loss
-    if logs_l2 > 0.0:
-        penalty = logs_l2 * stats["logs_mean_sq"]
+    if logs_l2 > 0.0 or logs_hinge > 0.0:
+        penalty = jnp.asarray(0.0, jnp.float32)
+        if logs_l2 > 0.0:
+            penalty = penalty + logs_l2 * stats["logs_mean_sq"]
+        if logs_hinge > 0.0:
+            penalty = penalty + logs_hinge * stats["logs_hinge"]
         aux["logs_penalty"] = penalty
         total = loss + penalty
     return total, aux

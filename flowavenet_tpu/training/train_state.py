@@ -49,7 +49,8 @@ def make_train_step(cfg: Config):
 
         def loss_of(p):
             return loss_fn(p, cfg.model, batch["audio"], batch["mel"], g,
-                           compute_dtype=dt, logs_l2=cfg.train.logs_l2)
+                           compute_dtype=dt, logs_l2=cfg.train.logs_l2,
+                           logs_hinge=cfg.train.logs_hinge)
 
         (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(
             state.params)

@@ -28,6 +28,16 @@ def env_flag(name: str, default: bool = False) -> bool:
         f"{name}={raw!r}: expected a boolean (1/0, true/false, yes/no)")
 
 
+def env_float(name: str, default: float, *, positive: bool = True) -> float:
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    val = float(raw)
+    if positive and val <= 0.0:
+        raise ValueError(f"{name}={val}: must be positive")
+    return val
+
+
 def env_int(name: str, default: int, *, multiple_of: int = 1) -> int:
     """Integer env knob; validates divisibility at READ time so a bad
     tile size fails fast instead of crashing mid-run in kernel reshapes."""

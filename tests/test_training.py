@@ -404,3 +404,49 @@ def test_logs_l2_regularizer(key, rng):
     (ls_plain, t_plain), (ls_reg, t_reg) = g_of(0.0), g_of(2.0)
     assert np.all(ls_reg > ls_plain)
     np.testing.assert_allclose(t_reg, t_plain, rtol=1e-6)
+
+
+def test_logs_hinge_regularizer(key, rng):
+    """TrainConfig.logs_hinge (default ON) is EXACTLY ZERO in the healthy
+    regime and, past LOGS_HINGE_MARGIN, adds w * sum-over-couplings of
+    mean(relu(|log_s|-margin)^2)/2 — the logdet-normalized closed form.
+    Chosen after logs_l2=0.1 failed a 50k flagship run (the L2 pressures
+    the mean while the max runs away)."""
+    from flowavenet_tpu.models.flowavenet import LOGS_HINGE_MARGIN, loss_fn
+
+    state = create_state(key, CFG)  # CFG default: logs_hinge=1.0
+    batch = _batch(rng, CFG)
+    state = ddi_initialize(state, CFG, batch)
+    train_step = jax.jit(make_train_step(CFG))
+
+    # healthy |log_s| (0.3 << margin): hinge contributes nothing — the
+    # optimized total equals the pure NLL bit-for-bit
+    state_ok = _with_const_log_s(state, 0.3)
+    _, m_ok = train_step(state_ok, batch)
+    assert float(m_ok["logs_hinge"]) == 0.0
+    assert float(m_ok["logs_penalty"]) == 0.0
+
+    # runaway |log_s| = margin + 2: per coupling mean(excess^2)/2 = 2.0,
+    # times n_block*n_flow couplings, times the default weight 1.0
+    val = float(LOGS_HINGE_MARGIN) + 2.0
+    state_bad = _with_const_log_s(state, val)
+    _, m_bad = train_step(state_bad, batch)
+    n_couplings = CFG.model.n_block * CFG.model.n_flow
+    np.testing.assert_allclose(float(m_bad["logs_hinge"]),
+                               n_couplings * 2.0, rtol=1e-5)
+    np.testing.assert_allclose(float(m_bad["logs_penalty"]),
+                               n_couplings * 2.0, rtol=1e-5)
+
+    # the gradient actually pushes the runaway log_s back down: vs the
+    # unpenalized loss, the log_s bias-half gradient must grow, the t
+    # half stay identical
+    def g_of(w):
+        grads = jax.grad(
+            lambda p: loss_fn(p, CFG.model, batch["audio"], batch["mel"],
+                              None, logs_hinge=w)[0])(state_bad.params)
+        b = np.asarray(grads["blocks"][0]["flows"]["coupling"]["zero"]["b"])
+        return b[:, : b.shape[1] // 2], b[:, b.shape[1] // 2:]
+
+    (ls_plain, t_plain), (ls_reg, t_reg) = g_of(0.0), g_of(1.0)
+    assert np.all(ls_reg > ls_plain)
+    np.testing.assert_allclose(t_reg, t_plain, rtol=1e-6)

@@ -65,6 +65,9 @@ def main() -> None:
                    help="TrainConfig.logs_l2 for the training leg (the "
                         "log_s L2 divergence mitigation; training-only, "
                         "model family unchanged)")
+    p.add_argument("--logs_hinge", type=float, default=None,
+                   help="TrainConfig.logs_hinge override (default 1.0; "
+                        "0 disables the hinge divergence guard)")
     p.add_argument("--summary_interval", type=int, default=None,
                    help="metrics JSONL cadence (default: steps/10) — the "
                         "long-run divergence study wants dense curves")
@@ -96,6 +99,9 @@ def main() -> None:
     if args.logs_l2 is not None:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, logs_l2=args.logs_l2))
+    if args.logs_hinge is not None:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, logs_hinge=args.logs_hinge))
     sr = cfg.audio.sample_rate
 
     # 1. corpus from the reference's 6 sample utterances
