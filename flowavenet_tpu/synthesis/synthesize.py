@@ -25,10 +25,17 @@ from ..training.train_state import create_state
 @functools.lru_cache(maxsize=None)
 def _jitted_reverse(model_cfg: ModelConfig, dt):
     """One jitted reverse per (model config, compute dtype); shapes are
-    bucketed by the caller so the jit cache stays small."""
+    bucketed by the caller so the jit cache stays small.
+
+    z and c are DONATED: both are dead after the pass's first ops (z is
+    squeezed, c is upsampled), every caller builds them fresh per call,
+    and together they are tens of MB x batch of HBM the pass can reuse
+    (VERDICT r3: the b128 headline sweep died at the HBM ceiling with
+    these buffers held live for nothing).  g is NOT donated — streaming
+    callers upload it once and reuse it across windows."""
     def f(params, z, c, g=None):
         return reverse(params, model_cfg, z, c, g, compute_dtype=dt)
-    return jax.jit(f)
+    return jax.jit(f, donate_argnums=(1, 2))
 
 
 @functools.lru_cache(maxsize=None)
@@ -57,7 +64,9 @@ def _jitted_reverse_devnoise(model_cfg: ModelConfig, dt, hop: int,
             wav = jnp.clip(jnp.round(wav.astype(jnp.float32) * 32768.0),
                            -32768, 32767).astype(jnp.int16)
         return wav
-    return jax.jit(f)
+    # donate c (fresh per dispatch, dead after the upsample); seeds/temps
+    # are tiny and g may be caller-reused — not donated
+    return jax.jit(f, donate_argnums=(3,))
 
 
 @functools.lru_cache(maxsize=None)
@@ -108,7 +117,9 @@ def _jitted_reverse_posnoise(model_cfg: ModelConfig, dt, hop: int,
             wav = jnp.clip(jnp.round(wav.astype(jnp.float32) * 32768.0),
                            -32768, 32767).astype(jnp.int16)
         return wav
-    return jax.jit(f)
+    # donate c only: seed/w0s/temps/k0s are tiny, and the time-parallel
+    # caller reuses seed_arr/temps/g device arrays across passes
+    return jax.jit(f, donate_argnums=(4,))
 
 
 @functools.lru_cache(maxsize=None)
@@ -122,7 +133,9 @@ def _jitted_reverse_trim(model_cfg: ModelConfig, dt, keep: int):
     def f(params, z, c, g=None, k0=0):
         wav = reverse(params, model_cfg, z, c, g, compute_dtype=dt)
         return jax.lax.dynamic_slice_in_dim(wav, k0, keep, axis=1)
-    return jax.jit(f)
+    # donate the per-window z/c (fresh uploads every window); g is
+    # uploaded once by stream_reverse and reused — not donated
+    return jax.jit(f, donate_argnums=(1, 2))
 
 
 def resolve_compute_dtype(cfg: Config, compute_dtype=None):

@@ -344,19 +344,23 @@ def test_device_trim_clamped_final_window():
                                    chunk_frames=12, rows_per_pass=3)
     # device-noise route: the posnoise kernel's per-row k0s clamp is a
     # separate code path (vmapped dynamic_slice) — assert it directly on
-    # the same over-long-final-window geometry.  Positional noise is a
-    # different stream than the host one but plan-INVARIANT, so its
+    # the same over-long-final-window geometry, with pcm16=True so the
+    # on-device quantization sits downstream of the clamped trim (the
+    # serving long-form path's exact configuration).  Positional noise
+    # is a different stream than the host one but plan-INVARIANT, so its
     # one-shot reference is a single-window plan (chunk >= total: one
     # untrimmed window, k0 = 0, no clamp anywhere).
     dev_chunked = synthesize_time_parallel(
         params, CFG, mel, seed=21, temp=0.7, chunk_frames=12,
-        rows_per_pass=2, noise="device")
+        rows_per_pass=2, noise="device", pcm16=True)
     dev_oneshot = synthesize_time_parallel(
         params, CFG, mel, seed=21, temp=0.7,
-        chunk_frames=plan.total_frames, noise="device")
-    dscale = np.abs(dev_oneshot).max()
-    np.testing.assert_allclose(dev_chunked, dev_oneshot,
-                               atol=1e-4 * dscale, rtol=0)
+        chunk_frames=plan.total_frames, noise="device", pcm16=True)
+    assert dev_chunked.dtype == np.int16 and dev_oneshot.dtype == np.int16
+    # float paths agree to 1e-4*scale << 1 PCM step; allow the 1-LSB
+    # boundary flips quantization can add on top
+    np.testing.assert_allclose(dev_chunked.astype(np.int32),
+                               dev_oneshot.astype(np.int32), atol=1, rtol=0)
     z = np.random.RandomState(21).randn(
         plan.total_frames * hop).astype(np.float32) * 0.7
     full = reverse(params, CFG.model, jnp.asarray(z)[None, :, None],
