@@ -1097,6 +1097,17 @@ def loss_fn(params: dict, cfg: ModelConfig, x, c, g=None,
            "bits_per_dim": loss / math.log(2.0), **stats}
     total = loss
     if logs_l2 > 0.0 or logs_hinge > 0.0:
+        if PAIR_KERNEL_FWD and _pair_kernel_eligible(cfg, g is not None):
+            # the fused forward pair kernel never materializes log_s, so
+            # its blocks contribute HARD ZERO to logs_mean_sq/logs_hinge
+            # — the penalty would silently not apply while metrics report
+            # a healthy 0 right up to the NaN it exists to prevent.
+            raise ValueError(
+                "FWN_FWD_KERNEL=1 is incompatible with the log_s "
+                "divergence guards (logs_hinge/logs_l2): the fused pair "
+                "kernel's log_s stats read 0, disabling the penalty "
+                "silently.  Unset FWN_FWD_KERNEL for guarded training, "
+                "or set logs_hinge=0 and logs_l2=0 to train unguarded.")
         penalty = jnp.asarray(0.0, jnp.float32)
         if logs_l2 > 0.0:
             penalty = penalty + logs_l2 * stats["logs_mean_sq"]

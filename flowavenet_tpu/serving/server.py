@@ -152,6 +152,7 @@ class SynthesisService:
         self._stop = threading.Event()
         self._inflight: list = []
         self.stats = {"requests": 0, "batches": 0, "streams": 0,
+                      "dispatches": 0, "max_dispatch_rows_seen": 0,
                       "audio_seconds": 0.0, "busy_seconds": 0.0,
                       "backpressure_seconds": 0.0}
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -296,6 +297,9 @@ class SynthesisService:
             self._inflight = []
 
     def _dispatch_group(self, group: list, use_sid: bool) -> None:
+        self.stats["dispatches"] += 1
+        self.stats["max_dispatch_rows_seen"] = max(
+            self.stats["max_dispatch_rows_seen"], len(group))
         try:
             sids = [r.speaker_id if r.speaker_id is not None else 0
                     for r in group]

@@ -293,6 +293,13 @@ def dispatch_mels(params, cfg: Config, mels: list[np.ndarray],
     return wav, frames
 
 
+def _sharded_keep(n_real: int, batch: int, shard_rows: int) -> int:
+    """Pad rows to keep on device when the batch axis is sharded: the
+    real-row count rounded UP to the per-shard row extent (a finer device
+    slice would force a cross-device reshard just to drop pad rows)."""
+    return min(-(-n_real // shard_rows) * shard_rows, batch)
+
+
 def materialize_wavs(wav, frames, cfg: Config) -> list[np.ndarray]:
     """Block on a :func:`dispatch_mels` result and crop each row back to
     its true length.  Rows are float32, or int16 when the dispatch used
@@ -310,8 +317,8 @@ def materialize_wavs(wav, frames, cfg: Config) -> list[np.ndarray]:
     n_keep = len(frames)
     shard0 = getattr(wav, "sharding", None)
     if shard0 is not None and not shard0.is_fully_replicated:
-        ext = wav.shape[0] // shard0.shard_shape(wav.shape)[0]
-        n_keep = min(-(-n_keep // ext) * ext, wav.shape[0])
+        n_keep = _sharded_keep(n_keep, wav.shape[0],
+                               shard0.shard_shape(wav.shape)[0])
     if wav.shape[0] > n_keep:
         wav = wav[:n_keep]
     if wav.dtype == jnp.int16:

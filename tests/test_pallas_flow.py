@@ -642,6 +642,29 @@ def test_fwd_kernel_model_loss_matches_xla(key, rng, monkeypatch):
                                    rtol=5e-4, atol=5e-4)
 
 
+def test_fwd_kernel_refuses_logs_guards(key, rng, monkeypatch):
+    """The fused forward pair kernel never materializes log_s, so its
+    blocks would contribute hard zero to the logs_hinge/logs_l2 guard
+    stats — loss_fn must refuse the combination loudly instead of
+    training unguarded while metrics report a healthy 0."""
+    import dataclasses as dc
+    from flowavenet_tpu.models.flowavenet import loss_fn
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_CPU_INTERPRET", True)
+    monkeypatch.setattr(fwn, "PAIR_KERNEL_FWD", True)
+    cfg = dc.replace(CFG, use_pallas=True)
+    params = _randomized(key, cfg)
+    x = jnp.asarray(0.1 * rng.randn(2, 4096, 1), jnp.float32)
+    mel = jnp.asarray(rng.rand(2, 4096 // cfg.hop_size, cfg.num_mels),
+                      jnp.float32)
+    with pytest.raises(ValueError, match="FWN_FWD_KERNEL"):
+        loss_fn(params, cfg, x, mel, logs_hinge=1.0)
+    with pytest.raises(ValueError, match="FWN_FWD_KERNEL"):
+        loss_fn(params, cfg, x, mel, logs_l2=1e-4)
+    # guards off: the knob still works
+    loss, _ = loss_fn(params, cfg, x, mel)
+    assert np.isfinite(float(loss))
+
+
 def test_hoisted_int8_pair_kernel_close_to_xla(key, rng):
     """Hoisted conditioning + int8 fg convs (deep-block FWN_HOISTED +
     FWN_INT8 route)."""

@@ -548,10 +548,15 @@ def test_max_dispatch_rows_splits_groups():
         a, b = run(svc_split), run(svc_whole)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(x, y)
-        # the split service really did split: more dispatched sub-batches
-        # than the whole service's (batches counts drain rounds, so check
-        # via compiled-shape-neutral evidence: both produced 5 results)
         assert all(o is not None for o in a)
+        # the split service really did split: no dispatched sub-batch may
+        # exceed max_dispatch_rows, which for 5 requests forces >= 3
+        # dispatches no matter how the drain rounds fell; the unsplit
+        # service must have seen at least one group the split one would
+        # have had to cut (else this run exercised nothing)
+        assert svc_split.stats["max_dispatch_rows_seen"] <= 2
+        assert svc_split.stats["dispatches"] >= 3
+        assert svc_whole.stats["max_dispatch_rows_seen"] >= 1
     finally:
         svc_split.close()
         svc_whole.close()

@@ -87,3 +87,43 @@ def test_bf16_upload_bit_identical(params):
                    jnp.asarray(mel)[None], compute_dtype=jnp.bfloat16)
     want = np.asarray(want[0, :, 0].astype(jnp.float32))
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_keep_rounds_to_shard_extent():
+    """Pad-row trimming under a sharded batch axis must round the kept
+    row count up to the PER-SHARD extent (rows per device), never the
+    shard count — a finer slice would cut a shard mid-way and force the
+    cross-device reshard the device-side trim exists to avoid."""
+    from flowavenet_tpu.synthesis.synthesize import _sharded_keep
+
+    # 8-row batch over 2 devices -> 4 rows/shard: 5 real rows keep 8
+    assert _sharded_keep(5, 8, 4) == 8
+    # over 4 devices -> 2 rows/shard: 5 real rows keep 6 (not 8)
+    assert _sharded_keep(5, 8, 2) == 6
+    # 1 row/shard degenerates to the exact count
+    assert _sharded_keep(5, 8, 1) == 5
+    # already aligned / full batch are identities
+    assert _sharded_keep(4, 8, 4) == 4
+    assert _sharded_keep(8, 8, 4) == 8
+
+
+def test_materialize_wavs_sharded_batch(params):
+    """End-to-end: a batch-sharded dispatch with pad rows materializes
+    per-request audio identical to the unsharded path."""
+    import jax.sharding as jsh
+
+    from flowavenet_tpu.synthesis.synthesize import (dispatch_mels,
+                                                     materialize_wavs)
+
+    mels = [_mel(8, seed=i) for i in range(5)]
+    devs = jax.devices()[:4]
+    mesh = jsh.Mesh(np.array(devs), ("data",))
+    sharding = jsh.NamedSharding(mesh, jsh.PartitionSpec("data"))
+    wav, frames = dispatch_mels(params, CFG, mels, seed=list(range(5)),
+                                pad_batch=True, data_sharding=sharding,
+                                batch_multiple=len(devs))
+    got = materialize_wavs(wav, frames, CFG)
+    want = synthesize_mels(params, CFG, mels, seed=list(range(5)))
+    assert len(got) == 5
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=2e-6, rtol=0)

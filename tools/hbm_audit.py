@@ -23,15 +23,15 @@ def audit(batch: int, seconds: float, cfg) -> None:
     import jax.numpy as jnp
 
     from flowavenet_tpu.models.flowavenet import init_flowavenet, reverse
+    from flowavenet_tpu.synthesis.synthesize import _usable_frames
 
     sr = cfg.audio.sample_rate
     hop = cfg.audio.hop_size
     sq = cfg.model.squeeze_factor
     frames = int(seconds * sr) // hop
     if frames >= 30 and (30 * hop) % sq == 0:
-        frames -= frames % 30
-    while (frames * hop) % sq != 0 and frames > 1:
-        frames -= 1
+        frames -= frames % 30      # bucket-snap to match bench.py's shapes
+    frames = _usable_frames(frames, cfg)
     T = frames * hop
 
     params = jax.eval_shape(

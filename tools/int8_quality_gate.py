@@ -86,7 +86,8 @@ def main() -> None:
     from flowavenet_tpu.config import get_config
     from flowavenet_tpu.models import flowavenet as fwn
     from flowavenet_tpu.models.flowavenet import reverse
-    from flowavenet_tpu.synthesis.synthesize import load_params
+    from flowavenet_tpu.synthesis.synthesize import (_usable_frames,
+                                                     load_params)
     from flowavenet_tpu.training.train import train
 
     work = args.workdir or tempfile.mkdtemp(prefix="fwn_int8gate_")
@@ -138,9 +139,7 @@ def main() -> None:
     # 3. synthesize the corpus mels through the three routes
     mels = [np.load(f) for f in
             sorted(glob.glob(os.path.join(data_dir, "mels", "*.npy")))]
-    frames = min(min(m.shape[0] for m in mels), 200)
-    while (frames * cfg.audio.hop_size) % cfg.model.squeeze_factor:
-        frames -= 1
+    frames = _usable_frames(min(min(m.shape[0] for m in mels), 200), cfg)
     c = jnp.asarray(np.stack([m[:frames] for m in mels]), jnp.float32)
     T = frames * cfg.audio.hop_size
     z = jax.random.normal(jax.random.PRNGKey(5),

@@ -35,6 +35,7 @@ def main() -> None:
 
     from flowavenet_tpu.config import get_config
     from flowavenet_tpu.models.flowavenet import init_flowavenet, reverse
+    from flowavenet_tpu.synthesis.synthesize import _usable_frames
 
     cfg = get_config(os.environ.get("BENCH_CONFIG", "lj22k"))
     batch = int(os.environ.get("BENCH_BATCH", "96"))
@@ -43,9 +44,7 @@ def main() -> None:
 
     sr = cfg.audio.sample_rate
     hop = cfg.audio.hop_size
-    frames = int(seconds * sr) // hop
-    while (frames * hop) % cfg.model.squeeze_factor != 0 and frames > 1:
-        frames -= 1
+    frames = _usable_frames(int(seconds * sr) // hop, cfg)
     T = frames * hop
 
     params = jax.jit(lambda k: init_flowavenet(k, cfg.model))(
