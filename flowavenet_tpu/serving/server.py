@@ -146,9 +146,16 @@ class SynthesisService:
         self.max_dispatch_rows = max(1, max_dispatch_rows)
         self._submit_lock = threading.Lock()
         self._q: "queue.Queue[_Request]" = queue.Queue()
-        # small bound = backpressure: at most 2 dispatched-but-unread
-        # groups in flight so HBM holds a bounded number of result buffers
-        self._done_q: "queue.Queue" = queue.Queue(maxsize=2)
+        # small bound = backpressure: a bounded number of
+        # dispatched-but-unread groups in flight so HBM holds a bounded
+        # number of result buffers.  One full drain can emit
+        # ceil(max_batch / max_dispatch_rows) sub-groups at once — hold
+        # one whole drain PLUS one so the dispatch thread never blocks
+        # while the device is idle between drains (measured: at the fixed
+        # bound of 2, split-b64 spent 96% of wall blocked handing off and
+        # aggregate fell below b32's).
+        per_drain = -(-max_batch // self.max_dispatch_rows)
+        self._done_q: "queue.Queue" = queue.Queue(maxsize=per_drain + 1)
         self._stop = threading.Event()
         self._inflight: list = []
         self.stats = {"requests": 0, "batches": 0, "streams": 0,
@@ -317,8 +324,9 @@ class SynthesisService:
                 data_sharding=self._data_sharding,
                 batch_multiple=self._batch_multiple)
             # hand the un-materialized result to the completion
-            # thread; blocks only when 2 groups are already in
-            # flight (backpressure).  The block is readback-bound
+            # thread; blocks only when a full drain's worth of groups
+            # plus one are already in flight (backpressure).  The block
+            # is readback-bound
             # waiting, not host work — account it separately so
             # busy_seconds measures actual prep+dispatch cost.
             tq = time.time()

@@ -26,6 +26,7 @@ bound 2) — i.e. waiting on readback, not doing host work.
 
 Env knobs: SERVE_CLIENTS (48) | SERVE_SECONDS (30 — measurement window)
 | SERVE_MAX_BATCH (32) | SERVE_UTT_SECONDS (2.0) | SERVE_WINDOW_MS (10)
+| SERVE_MAX_DISPATCH (32 — sub-batch split of large groups)
 | BENCH_CONFIG (lj22k)
 """
 
@@ -61,6 +62,7 @@ def main() -> None:
     max_batch = int(os.environ.get("SERVE_MAX_BATCH", "32"))
     utt_s = float(os.environ.get("SERVE_UTT_SECONDS", "2.0"))
     window_ms = float(os.environ.get("SERVE_WINDOW_MS", "10"))
+    max_dispatch = int(os.environ.get("SERVE_MAX_DISPATCH", "32"))
 
     dtype = resolve_compute_dtype(cfg, None)
     params = init_flowavenet(jax.random.PRNGKey(0), cfg.model)
@@ -74,7 +76,8 @@ def main() -> None:
     mel = rng.rand(frames, cfg.audio.num_mels).astype(np.float32)
 
     svc = SynthesisService(params, cfg, max_batch=max_batch,
-                           batch_window_ms=window_ms)
+                           batch_window_ms=window_ms,
+                           max_dispatch_rows=max_dispatch)
     print(f"# {jax.devices()[0].device_kind} | {cfg.model.n_block}x"
           f"{cfg.model.n_flow} flows | {n_clients} clients x {utt_s}s "
           f"utterances | max_batch {max_batch}", file=sys.stderr)
@@ -84,9 +87,12 @@ def main() -> None:
     # minutes to compile but persists in the jax compilation cache).
     from flowavenet_tpu.synthesis.synthesize import synthesize_mels
     sizes, b = [], 1
-    while True:  # cover the pow2 bucket ABOVE a non-pow2 max_batch too
+    # dispatched sub-batches never exceed max_dispatch rows, so that's
+    # the largest pow2 shape the service can produce
+    warm_to = min(max_batch, max_dispatch)
+    while True:  # cover the pow2 bucket ABOVE a non-pow2 cap too
         sizes.append(b)
-        if b >= max_batch:
+        if b >= warm_to:
             break
         b *= 2
     for bsz in sizes:
