@@ -139,6 +139,17 @@ class TrainConfig:
     # 19 -> 36 (docs/benchmarks.md, divergence study).  Training-only —
     # the model family, checkpoints, and synthesis are untouched.
     logs_hinge: float = 1.0
+    # Same dead-zone hinge applied to the ActNorm SCALES (|3*logs| past
+    # LOGS_HINGE_MARGIN; parameters, not activations, so it costs one tiny
+    # reduction in the train step).  Motivated by the round-4 50k flagship
+    # telemetry: actnorm_max_logs3 climbed monotonically 1.92 -> 3.20 with
+    # no plateau while the coupling hinge held log_s — the next slow-burn
+    # divergence candidate.  EXACTLY ZERO below the margin, so guarded
+    # runs are bit-identical to unguarded ones until a scale actually
+    # runs away; normalized per-channel like the ActNorm logdet
+    # (sum relu(|3 logs|-m)^2 / C_level), so weight w stalls growth at
+    # |3*logs| = margin + 1/(2w).  Training-only.
+    actnorm_hinge: float = 1.0
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8

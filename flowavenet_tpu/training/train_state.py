@@ -15,8 +15,27 @@ import jax.numpy as jnp
 import optax
 
 from ..config import Config
-from ..models.flowavenet import ddi, init_flowavenet, loss_fn
+from ..models.flowavenet import (LOGS_HINGE_MARGIN, ddi, init_flowavenet,
+                                 loss_fn)
 from .optimizer import lr_schedule, make_optimizer
+
+
+def actnorm_hinge_penalty(params) -> jax.Array:
+    """Dead-zone hinge on the ActNorm scales: sum over blocks of
+    sum(relu(|3*logs| - LOGS_HINGE_MARGIN)^2) / C_level, fp32.
+
+    Parameter-space twin of the coupling logs_hinge (flowavenet.py
+    _log_s_stats).  The per-channel normalization mirrors the ActNorm
+    logdet (each channel holds B*T/C elements, so its logdet weight is
+    3/C): with weight w the runaway mode stalls at |3*logs| =
+    margin + 1/(2w), and below the margin the penalty — and therefore
+    the whole train step — is bit-identical to the unguarded run."""
+    pen = jnp.asarray(0.0, jnp.float32)
+    for bp in params["blocks"]:
+        logs3 = bp["flows"]["actnorm"]["logs"].astype(jnp.float32) * 3.0
+        excess = jnp.maximum(jnp.abs(logs3) - LOGS_HINGE_MARGIN, 0.0)
+        pen = pen + jnp.sum(excess * excess) / logs3.shape[-1]
+    return pen
 
 
 class TrainState(NamedTuple):
@@ -48,9 +67,15 @@ def make_train_step(cfg: Config):
         g = batch.get("speaker") if cfg.model.gin_channels > 0 else None
 
         def loss_of(p):
-            return loss_fn(p, cfg.model, batch["audio"], batch["mel"], g,
-                           compute_dtype=dt, logs_l2=cfg.train.logs_l2,
-                           logs_hinge=cfg.train.logs_hinge)
+            total, aux = loss_fn(p, cfg.model, batch["audio"], batch["mel"],
+                                 g, compute_dtype=dt,
+                                 logs_l2=cfg.train.logs_l2,
+                                 logs_hinge=cfg.train.logs_hinge)
+            if cfg.train.actnorm_hinge > 0.0:
+                pen = actnorm_hinge_penalty(p)
+                aux["actnorm_hinge"] = pen
+                total = total + cfg.train.actnorm_hinge * pen
+            return total, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(
             state.params)

@@ -450,3 +450,49 @@ def test_logs_hinge_regularizer(key, rng):
     (ls_plain, t_plain), (ls_reg, t_reg) = g_of(0.0), g_of(1.0)
     assert np.all(ls_reg > ls_plain)
     np.testing.assert_allclose(t_reg, t_plain, rtol=1e-6)
+
+
+def test_actnorm_hinge_guard(key, rng):
+    """TrainConfig.actnorm_hinge (default ON): zero below the margin —
+    the train step is bit-identical to an unguarded one — and past it
+    adds w * sum(relu(|3*logs|-margin)^2)/C per block, whose gradient
+    pulls the runaway ActNorm scale back down.  Motivated by the round-4
+    50k run's monotone actnorm_max_logs3 climb (docs/runs/)."""
+    import dataclasses
+
+    from flowavenet_tpu.models.flowavenet import LOGS_HINGE_MARGIN
+
+    state = create_state(key, CFG)  # CFG default: actnorm_hinge=1.0
+    batch = _batch(rng, CFG)
+    state = ddi_initialize(state, CFG, batch)
+    step_on = jax.jit(make_train_step(CFG))
+    cfg_off = CFG.replace(train=dataclasses.replace(CFG.train,
+                                                    actnorm_hinge=0.0))
+    step_off = jax.jit(make_train_step(cfg_off))
+
+    # healthy regime (DDI scales are small): penalty exactly zero and the
+    # updated params match the unguarded step bit-for-bit
+    s_on, m_on = step_on(state, batch)
+    s_off, _ = step_off(state, batch)
+    assert float(m_on["actnorm_hinge"]) == 0.0
+    for a, b in zip(jax.tree.leaves(s_on.params),
+                    jax.tree.leaves(s_off.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # runaway scales: |3*logs| = margin + 2 on every channel -> per block
+    # sum(4)/C = 4*n_flow; gradient on logs grows vs the unguarded step
+    params = jax.device_get(state.params)
+    val = (float(LOGS_HINGE_MARGIN) + 2.0) / 3.0
+    for bp in params["blocks"]:
+        bp["flows"]["actnorm"]["logs"] = jnp.full_like(
+            bp["flows"]["actnorm"]["logs"], val)
+    state_bad = state._replace(params=params)
+    _, m_bad = step_on(state_bad, batch)
+    expect = 4.0 * CFG.model.n_flow * CFG.model.n_block
+    np.testing.assert_allclose(float(m_bad["actnorm_hinge"]), expect,
+                               rtol=1e-5)
+
+    from flowavenet_tpu.training.train_state import actnorm_hinge_penalty
+    g_pen = jax.grad(actnorm_hinge_penalty)(state_bad.params)
+    g_logs = np.asarray(g_pen["blocks"][0]["flows"]["actnorm"]["logs"])
+    assert np.all(g_logs > 0)  # pushes positive runaway logs DOWN
