@@ -444,6 +444,48 @@ def _pair_fwd_fused_b(interp, res, ct):
 _pair_fwd_fused.defvjp(_pair_fwd_fused_f, _pair_fwd_fused_b)
 
 
+# FULLY-FUSED training pair kernel (ops/pallas_flow_train.py): forward
+# pair kernel with exact log_s stats AND a hand-derived Pallas backward
+# that recomputes the pair in VMEM and accumulates every weight grad in
+# fp32 — the round-5 answer to round 4's arithmetic-only rejection of a
+# fused fwd+bwd kernel.  The VJP boundary sits at the folded operands,
+# so weight-norm/ActNorm folding is differentiated by XLA autodiff.
+# Default OFF until the chip measurement promotes it (tools/
+# bench_train_kernel.py); stats are exact so the divergence guards
+# (logs_hinge/logs_l2) work unchanged under this route.
+TRAIN_KERNEL = _env_flag("FWN_TRAIN_KERNEL", default=False)
+# Width bound: fp32 weight-grad accumulators + bf16 weights must fit the
+# kernel's VMEM budget; Cc=640 (block 3) totals ~20 MB of the 64 MB cap.
+TRAIN_KERNEL_MAX_CC = _env_int("FWN_TRAIN_MAX_CC", 640)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pair_train_fused(interp, ops, u, v, c_a, c_b):
+    from ..ops import pallas_flow_train as pft
+    return pft.fused_pair_train_fwd(u, v, c_a, c_b, ops,
+                                    interpret=interp)
+
+
+def _pair_train_fused_f(interp, ops, u, v, c_a, c_b):
+    return (_pair_train_fused(interp, ops, u, v, c_a, c_b),
+            (ops, u, v, c_a, c_b))
+
+
+def _pair_train_fused_b(interp, res, ct):
+    ops, u, v, c_a, c_b = res
+    # ct = (du', dv', d raw, d max, d sumsq, d hinge).  max|log_s| is a
+    # diagnostic (never part of the optimized loss); its cotangent is
+    # dropped — differentiating through the max is unsupported here.
+    gu, gv, gr, _gmx, gq, gh = ct
+    from ..ops import pallas_flow_train as pft
+    d_ops, du, dv, dca, dcb = pft.fused_pair_train_bwd(
+        u, v, c_a, c_b, gu, gv, gr, gq, gh, ops, interpret=interp)
+    return d_ops, du, dv, dca, dcb
+
+
+_pair_train_fused.defvjp(_pair_train_fused_f, _pair_train_fused_b)
+
+
 # Block-fused chain: run ALL n_flow/2 pairs of a block in ONE kernel
 # launch (ops/pallas_flow.py fused_chain_reverse*).  Reads u/v/c once per
 # block instead of once per pair and deletes the inter-pair de/re-
@@ -543,6 +585,35 @@ def block_forward(p: dict, cfg: ModelConfig, x, c, g, *,
         u, v = jnp.split(x, 2, axis=2)
         c_a, c_b = jnp.split(c, 2, axis=2)
         g_a, g_b = jnp.split(g, 2, axis=2) if has_g else (None, None)
+        if (TRAIN_KERNEL and _pair_kernel_eligible(cfg, has_g)
+                and c_a.shape[-1] <= TRAIN_KERNEL_MAX_CC):
+            # fully-fused fwd+bwd pair kernel (custom_vjp with a Pallas
+            # backward; input-only residuals ARE the remat policy, so no
+            # jax.checkpoint).  log_s stats come out of the kernel
+            # exactly, so the divergence guards stay live on this route.
+            from ..ops import pallas_flow as pf
+            interp = jax.default_backend() == "cpu"
+            pp = _pair_params(p)
+            B, T_lvl, r_in = u.shape
+            ld = jnp.asarray(0.0, jnp.float32)
+            raw = jnp.asarray(0.0, jnp.float32)
+            mx = jnp.asarray(0.0, jnp.float32)
+            sq = jnp.asarray(0.0, jnp.float32)
+            hq = jnp.asarray(0.0, jnp.float32)
+            for i in range(cfg.n_flow // 2):
+                pair = jax.tree.map(lambda l, _i=i: l[_i], pp)
+                ops = pf.pair_forward_operands(pair, u.dtype)
+                u, v, s, m_, q_, h_ = _pair_train_fused(interp, ops, u, v,
+                                                        c_a, c_b)
+                raw, mx = raw + s, jnp.maximum(mx, m_)
+                sq, hq = sq + q_, hq + h_
+                ld = (ld + _an_logdet(jax.tree.map(lambda l: l[0],
+                                                   pair)["actnorm"])
+                      + _an_logdet(jax.tree.map(lambda l: l[1],
+                                                pair)["actnorm"]))
+            ld = ld + raw / (B * T_lvl * r_in) / 2.0
+            return out(jnp.concatenate([u, v], axis=2), c, g, ld,
+                       (mx, sq, hq))
         if (PAIR_KERNEL_FWD and _pair_kernel_eligible(cfg, has_g)
                 and c_a.shape[-1] <= PAIR_KERNEL_FWD_MAX_CC):
             # fused forward pair kernel (custom_vjp; no jax.checkpoint —
