@@ -249,7 +249,17 @@ def tiny() -> Config:
     )
 
 
-PRESETS = {"lj22k": lj22k, "lj8k": lj8k, "lj8k_gin": lj8k_gin, "tiny": tiny}
+def tiny_gin() -> Config:
+    """Tiny profile with global (speaker) conditioning — fast gin smoke
+    tests and the CPU leg of tools/gin_study.py."""
+    base = tiny()
+    return base.replace(
+        model=dataclasses.replace(base.model, gin_channels=16,
+                                  n_speakers=4))
+
+
+PRESETS = {"lj22k": lj22k, "lj8k": lj8k, "lj8k_gin": lj8k_gin,
+           "tiny": tiny, "tiny_gin": tiny_gin}
 
 
 def get_config(name: str) -> Config:
