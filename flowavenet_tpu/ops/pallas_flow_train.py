@@ -61,6 +61,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.flags import env_float as _env_float
+from ..utils.flags import env_int as _env_int
 from .pallas_flow import (ACC_DTYPE, GATE_DTYPE, SQRT_HALF,
                           VMEM_LIMIT_BYTES, _coupling_net, _fit_tile,
                           _mask_valid, _tiles_and_halos, _win_cat,
@@ -73,6 +74,9 @@ BHALO = 32
 # Same dead-zone margin as models/flowavenet.py LOGS_HINGE_MARGIN (env
 # knob shared; redefined here to avoid a models<->ops import cycle).
 HINGE_MARGIN = _env_float("FWN_HINGE_MARGIN", 5.0)
+# Time-tile overrides for the training kernels (sweepable on chip).
+TRAIN_FWD_TT = _env_int("FWN_TRAIN_FWD_TT", 1024, multiple_of=16)
+TRAIN_BWD_TT = _env_int("FWN_TRAIN_BWD_TT", 512, multiple_of=16)
 
 
 def _rows(buf, o: int, lo: int, hi: int):
@@ -202,7 +206,7 @@ def _pair_kernel_fws(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
     st_out[0, 3] = jnp.full((128,), hq, f32)
 
 
-def fused_pair_train_fwd(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
+def fused_pair_train_fwd(u, v, c_a, c_b, operands, *, t_tile: int = 0,
                          interpret: bool = False):
     """Primal of the training pair step.  Returns
     (u', v', raw_neg_logs_sum, max|log_s|, sum log_s^2, hinge_sum) —
@@ -210,7 +214,7 @@ def fused_pair_train_fwd(u, v, c_a, c_b, operands, *, t_tile: int = 1024,
     B, T, R_in = u.shape
     dtype = u.dtype
     halo = 16  # forward RF is +-10, as in _pair_kernel_fw
-    t_tile, n_t, T_pad = _fit_tile(T, t_tile, 16, halo)
+    t_tile, n_t, T_pad = _fit_tile(T, t_tile or TRAIN_FWD_TT, 16, halo)
 
     ut, uh = _tiles_and_halos(u, t_tile, n_t, T_pad, halo)
     vt, vh = _tiles_and_halos(v, t_tile, n_t, T_pad, halo)
@@ -616,7 +620,7 @@ def _pair_kernel_bwd(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
 
 
 def fused_pair_train_bwd(u, v, c_a, c_b, gu, gv, gr, gq, gh, operands, *,
-                         t_tile: int = 512, interpret: bool = False):
+                         t_tile: int = 0, interpret: bool = False):
     """Full backward of the training pair step.  Returns
     (d_operands, du, dv, dc_a, dc_b) where d_operands matches
     pair_forward_operands' tuple structure (weight grads cast to the
@@ -625,7 +629,7 @@ def fused_pair_train_bwd(u, v, c_a, c_b, gu, gv, gr, gq, gh, operands, *,
     B, T, R_in = u.shape
     dtype = u.dtype
     H = BHALO
-    t_tile, n_t, T_pad = _fit_tile(T, t_tile, 16, H)
+    t_tile, n_t, T_pad = _fit_tile(T, t_tile or TRAIN_BWD_TT, 16, H)
 
     ut, uh = _tiles_and_halos(u, t_tile, n_t, T_pad, H)
     vt, vh = _tiles_and_halos(v, t_tile, n_t, T_pad, H)
