@@ -548,10 +548,13 @@ def _pair_kernel_bwd(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
            + valid(_rows(dv3m, O2[0] + 5, A1[0], A1[1]), A1[0]))
 
     # odd ActNorm half0 (on v): v3 = (v2 + b) * s
+    def _ansum(x):
+        return jnp.sum(x.astype(f32), axis=0, keepdims=True)
+
     v2a = _rows(v2, O1[0], A1[0], A1[1])
-    d_an_s[1, 0] += _rowsum(sel(dv3 * (v2a + an_b[1, 0].astype(f32)),
-                                A1[0]))
-    d_an_b[1, 0] += _rowsum(sel(dv3 * an_s[1, 0].astype(f32), A1[0]))
+    d_an_s[1, 0] += _ansum(sel(dv3 * (v2a + an_b[1, 0].astype(f32)),
+                               A1[0]))
+    d_an_b[1, 0] += _ansum(sel(dv3 * an_s[1, 0].astype(f32), A1[0]))
     dv2 = dv3 * an_s[1, 0].astype(f32)
 
     # even coupling's affine: v2 = (v0 - t1) * e1
@@ -569,25 +572,25 @@ def _pair_kernel_bwd(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref,
     gu_t = _rows(gu2, O2[0], Tr[0], Tr[1])
     du2 = gu_t * _rows(e2, O2[0], Tr[0], Tr[1])
     u0t = _rows(u0, 0, Tr[0], Tr[1]).astype(f32)
-    d_an_s[1, 1] += _rowsum(sel(du2 * (u0t + an_b[1, 1].astype(f32)),
-                                Tr[0]))
-    d_an_b[1, 1] += _rowsum(sel(du2 * an_s[1, 1].astype(f32), Tr[0]))
+    d_an_s[1, 1] += _ansum(sel(du2 * (u0t + an_b[1, 1].astype(f32)),
+                               Tr[0]))
+    d_an_b[1, 1] += _ansum(sel(du2 * an_s[1, 1].astype(f32), Tr[0]))
     du0 = (_rows(du0m, A1[0] + 5, Tr[0], Tr[1])
            + du2 * an_s[1, 1].astype(f32))
     du0 = valid(du0, Tr[0])              # backward of the u0 mask
 
     # even ActNorm: u0 = (u + b) * s, v0 = (v + b) * s
     ut_ = _rows(u, 0, Tr[0], Tr[1]).astype(f32)
-    d_an_s[0, 0] += _rowsum(sel(du0 * (ut_ + an_b[0, 0].astype(f32)),
-                                Tr[0]))
-    d_an_b[0, 0] += _rowsum(sel(du0 * an_s[0, 0].astype(f32), Tr[0]))
+    d_an_s[0, 0] += _ansum(sel(du0 * (ut_ + an_b[0, 0].astype(f32)),
+                               Tr[0]))
+    d_an_b[0, 0] += _ansum(sel(du0 * an_s[0, 0].astype(f32), Tr[0]))
     du = du0 * an_s[0, 0].astype(f32)
 
     dv0 = _rows(dv2 * e1a, A1[0], Tr[0], Tr[1])
     vt_ = _rows(v, 0, Tr[0], Tr[1]).astype(f32)
-    d_an_s[0, 1] += _rowsum(sel(dv0 * (vt_ + an_b[0, 1].astype(f32)),
-                                Tr[0]))
-    d_an_b[0, 1] += _rowsum(sel(dv0 * an_s[0, 1].astype(f32), Tr[0]))
+    d_an_s[0, 1] += _ansum(sel(dv0 * (vt_ + an_b[0, 1].astype(f32)),
+                               Tr[0]))
+    d_an_b[0, 1] += _ansum(sel(dv0 * an_s[0, 1].astype(f32), Tr[0]))
     dv = dv0 * an_s[0, 1].astype(f32)
 
     # ---------------- emit tensor grads (tile rows) -------------------
@@ -681,8 +684,8 @@ def fused_pair_train_bwd(u, v, c_a, c_b, gu, gv, gr, gq, gh, operands, *,
         jax.ShapeDtypeStruct((2, R), f32),                # d_fin_b
         jax.ShapeDtypeStruct((2, R, 2 * R_in), f32),      # d_zw
         jax.ShapeDtypeStruct((2, 2 * R_in), f32),         # d_zb
-        jax.ShapeDtypeStruct((2, 2, R_in), f32),          # d_an_s
-        jax.ShapeDtypeStruct((2, 2, R_in), f32),          # d_an_b
+        jax.ShapeDtypeStruct((2, 2, 1, R_in), f32),       # d_an_s
+        jax.ShapeDtypeStruct((2, 2, 1, R_in), f32),       # d_an_b
     ]
     flops_net = 2 * T * (2 * 3 * 256 * 512 + 2 * Cc * 512 + 2 * 256 * 256
                          + 256 * 256 + 3 * R_in * 256 + 256 * 2 * R_in)
@@ -731,5 +734,6 @@ def fused_pair_train_bwd(u, v, c_a, c_b, gu, gv, gr, gq, gh, operands, *,
     accs = outs[4:]
     if T_pad != T:
         du, dv, dca, dcb = (du[:, :T], dv[:, :T], dca[:, :T], dcb[:, :T])
+    accs = list(accs[:-2]) + [accs[-2][:, :, 0], accs[-1][:, :, 0]]
     d_ops = tuple(a.astype(op.dtype) for a, op in zip(accs, operands))
     return d_ops, du, dv, dca.astype(c_a.dtype), dcb.astype(c_b.dtype)
