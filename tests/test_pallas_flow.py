@@ -790,3 +790,29 @@ def test_int8_route_batch_composition_invariant(key, rng, monkeypatch,
                                 jnp.float32))
     np.testing.assert_array_equal(np.asarray(out_q[0]),
                                   np.asarray(out_l[0]))
+
+
+def test_pair_kernel_flat_uv_layout(key, rng, monkeypatch):
+    """FWN_FLAT_UV (flat t_tile*R_in u/v operands, dense layout) is
+    bit-identical to the 4-D tile layout across tile boundaries and a
+    ragged final tile."""
+    import flowavenet_tpu.ops.pallas_flow as pf
+
+    cfg = CFG
+    params = _randomized(key, cfg)
+    bp = params["blocks"][0]
+    T = 192
+    u = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    v = jnp.asarray(rng.randn(2, T, 1), jnp.float32)
+    c_a = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    c_b = jnp.asarray(rng.randn(2, T, cfg.num_mels), jnp.float32)
+    pair = jax.tree.map(lambda l: l[0], fwn._pair_params(bp))
+    ops = pair_reverse_operands(pair, dtype=jnp.float32)
+    monkeypatch.setattr(pf, "FLAT_UV", False)
+    u0, v0 = fused_pair_reverse(u, v, c_a, c_b, ops, t_tile=64,
+                                interpret=True)
+    monkeypatch.setattr(pf, "FLAT_UV", True)
+    u1, v1 = fused_pair_reverse(u, v, c_a, c_b, ops, t_tile=64,
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
