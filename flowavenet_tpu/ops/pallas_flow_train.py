@@ -107,11 +107,22 @@ def _conv3f(buf, o: int, w, *, lo: int, hi: int, d: int):
 def _conv3t(g, o: int, w, *, lo: int, hi: int, d: int):
     """Transposed 3-tap conv (input-gradient) over rows [lo, hi):
     dx[t] = sum_k g[t - (k-1)*d] @ w[k]^T."""
+    cout = w.shape[-2]
     acc = None
     for k in range(3):
         tap = _rows(g, o, lo - (k - 1) * d, hi - (k - 1) * d)
-        t_ = jax.lax.dot_general(tap, w[k], (((1,), (1,)), ((), ())),
-                                 preferred_element_type=ACC_DTYPE)
+        if cout >= 8:
+            t_ = jax.lax.dot_general(tap, w[k], (((1,), (1,)), ((), ())),
+                                     preferred_element_type=ACC_DTYPE)
+        else:
+            # Mosaic can't lower a dot_general whose minor output dim is
+            # sub-lane (dx is [n, R_in], R_in as small as 1): multiply by
+            # the weight row and reduce over the lane axis instead
+            # (mirrors _conv3f's small-cin branch).
+            cols = [jnp.sum(tap.astype(ACC_DTYPE)
+                            * w[k][j].astype(ACC_DTYPE)[None, :],
+                            axis=1, keepdims=True) for j in range(cout)]
+            t_ = cols[0] if cout == 1 else jnp.concatenate(cols, axis=1)
         acc = t_ if acc is None else acc + t_
     return acc
 
@@ -356,16 +367,18 @@ def _net_bwd(dnet, a: int, b: int, x, xo: int, c, co: int, W: dict,
     o2 = _rows(res["o2"], lo, a, b)
     dW["zw"] = _dot_rows(o2.astype(dtype), dnet_s.astype(dtype))
     dW["zb"] = _rowsum(dnet_s)
-    do2 = jax.lax.dot_general(dnet, W["zw"], (((1,), (1,)), ((), ())),
+    do2 = jax.lax.dot_general(dnet.astype(dtype), W["zw"],
+                              (((1,), (1,)), ((), ())),
                               preferred_element_type=f32)
-    dpre2 = do2 * (o2 > 0).astype(f32)
+    # relu masks: compare in f32 — Mosaic v5e rejects bf16 compares
+    dpre2 = do2 * (o2.astype(f32) > 0).astype(f32)
     o1 = _rows(res["o1"], lo, a, b)
     dW["fin_w"] = _dot_rows(o1.astype(dtype), sel(dpre2, a).astype(dtype))
     dW["fin_b"] = _rowsum(sel(dpre2, a))
     do1 = jax.lax.dot_general(dpre2.astype(dtype), W["fin_w"],
                               (((1,), (1,)), ((), ())),
                               preferred_element_type=f32)
-    dsk = do1 * (o1 > 0).astype(f32)
+    dsk = do1 * (o1.astype(f32) > 0).astype(f32)
     dsk_s = sel(dsk, a)
 
     # layer 1 (d=3)
@@ -397,20 +410,22 @@ def _net_bwd(dnet, a: int, b: int, x, xo: int, c, co: int, W: dict,
     # gradients into those rows are exactly zero
     dh1 = validf(_conv3t(dfg1.astype(dtype), a, W["kfg"][1], lo=a + 3,
                          hi=b - 3, d=3), a + 3)
-    # d rs over [a+3, b-3): res half sqrt(.5)*dh1, skip half row-aligned
-    drs = jnp.concatenate([dh1 * SQRT_HALF,
-                           _rows(dsk, a, a + 3, b - 3)], axis=-1)
-    dW["res_b"] = _rowsum(sel(dh1 * SQRT_HALF, a + 3))
-    drs_s = sel(drs, a + 3)
+    # d rs over [a+3, b-3): res half sqrt(.5)*dh1, skip half row-aligned.
+    # Kept as TWO matmuls (not a channel concat): Mosaic can't concatenate
+    # vectors whose sublane offsets differ (dh1 is conv-aligned, the dsk
+    # rows carry a +3 slice offset), and the split is FLOP-identical.
+    dh1h = dh1 * SQRT_HALF
+    dsk3 = _rows(dsk, a, a + 3, b - 3)
+    dW["res_b"] = _rowsum(sel(dh1h, a + 3))
     g0 = _rows(res["g0"], lo - 3, a + 3, b - 3)
-    dwrs = _dot_rows(g0.astype(dtype), drs_s.astype(dtype))
-    r = g0.shape[-1]
-    dW["res_w"] = dwrs[:, :r]
-    dW["skip_w0"] = dwrs[:, r:]
-    rs_w = jnp.concatenate([W["res_w"], W["skip_w"][0]], axis=-1)
-    dg0 = jax.lax.dot_general(drs.astype(dtype), rs_w,
-                              (((1,), (1,)), ((), ())),
-                              preferred_element_type=f32)
+    dW["res_w"] = _dot_rows(g0.astype(dtype), sel(dh1h, a + 3).astype(dtype))
+    dW["skip_w0"] = _dot_rows(g0.astype(dtype), sel(dsk3, a + 3).astype(dtype))
+    dg0 = (jax.lax.dot_general(dh1h.astype(dtype), W["res_w"],
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32)
+           + jax.lax.dot_general(dsk3.astype(dtype), W["skip_w"][0],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=f32))
     t0 = _rows(res["t0"], lo - 3, a + 3, b - 3).astype(f32)
     s0 = _rows(res["s0"], lo - 3, a + 3, b - 3).astype(f32)
     dfg0 = jnp.concatenate([dg0 * s0 * (one - t0 * t0),
@@ -432,7 +447,7 @@ def _net_bwd(dnet, a: int, b: int, x, xo: int, c, co: int, W: dict,
            + _rows(dh1, a + 3, a + 4, b - 4) * SQRT_HALF)
     h0m = _rows(res["h0"], lo - 4, a + 4, b - 4)
     # h0 was masked outside [0, T) in the forward: zero those rows' grads
-    dpre0 = validf(dh0 * (h0m > 0).astype(f32), a + 4)
+    dpre0 = validf(dh0 * (h0m.astype(f32) > 0).astype(f32), a + 4)
     dpre0_s = sel(dpre0, a + 4)
     dpre0_sd = dpre0_s.astype(dtype)
     for k in range(3):

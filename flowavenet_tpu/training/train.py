@@ -320,6 +320,14 @@ def main(argv=None):
         initialize_distributed(args.coordinator_address,
                                args.num_processes, args.process_id)
 
+    # Persistent compile cache: a preempted-and-resumed run (SIGTERM ->
+    # checkpoint -> restart, the §5.3 elastic path) must not pay the full
+    # multi-minute train-step compile twice.  Env vars win if set.
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     cfg = get_config(args.config)
     data_dir = os.path.join(args.base_dir, args.data_dir)
     logdir = os.path.join(args.base_dir, args.logdir)

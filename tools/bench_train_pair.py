@@ -95,16 +95,27 @@ def main() -> None:
                     + jnp.sum(v.astype(jnp.float32) ** 2))
 
         def bench(name, fn):
-            g = jax.jit(jax.value_and_grad(fn))
+            vg = jax.value_and_grad(fn)
+
+            def fenced(pair, u, v, ca, cb):
+                # fold every grad leaf into one scalar: its readback is
+                # the execution fence (block_until_ready is unreliable on
+                # the axon platform — see bench.py's measurement notes)
+                val, grads = vg(pair, u, v, ca, cb)
+                gs = sum(jnp.sum(l.astype(jnp.float32))
+                         for l in jax.tree.leaves(grads))
+                return val, gs
+
+            g = jax.jit(fenced)
             t0 = time.time()
-            val, grads = g(pair0, u, v, ca, cb)
-            jax.block_until_ready(grads)
+            val, gs = g(pair0, u, v, ca, cb)
+            float(gs)
             compile_s = time.time() - t0
             times = []
             for _ in range(iters):
                 t0 = time.time()
-                val, grads = g(pair0, u, v, ca, cb)
-                jax.block_until_ready(grads)
+                val, gs = g(pair0, u, v, ca, cb)
+                float(gs)
                 times.append(time.time() - t0)
             best = min(times) * 1e3
             print(f"# block {b} ({name}): {best:.1f} ms "
