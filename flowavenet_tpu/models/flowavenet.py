@@ -456,7 +456,11 @@ _pair_fwd_fused.defvjp(_pair_fwd_fused_f, _pair_fwd_fused_b)
 TRAIN_KERNEL = _env_flag("FWN_TRAIN_KERNEL", default=False)
 # Width bound: fp32 weight-grad accumulators + bf16 weights must fit the
 # kernel's VMEM budget; Cc=640 (block 3) totals ~20 MB of the 64 MB cap.
-TRAIN_KERNEL_MAX_CC = _env_int("FWN_TRAIN_MAX_CC", 640)
+# Default 80 routes ONLY block 0 — the chip measurement
+# (tools/bench_train_pair.py, docs/benchmarks.md round 5) shows the
+# kernel wins 1.13x at block 0's R_in=1 geometry, ties block 1, and
+# loses blocks 2-3, so wider routing would slow the step.
+TRAIN_KERNEL_MAX_CC = _env_int("FWN_TRAIN_MAX_CC", 80)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

@@ -156,6 +156,9 @@ def test_train_kernel_full_model_loss_and_grads(monkeypatch):
     def run(kernel_on):
         monkeypatch.setattr(fwn, "TRAIN_KERNEL", kernel_on)
         monkeypatch.setattr(fwn, "PAIR_KERNEL_CPU_INTERPRET", kernel_on)
+        # route EVERY block (the production default 80 = block 0 only,
+        # per the chip measurement; this test wants full coverage)
+        monkeypatch.setattr(fwn, "TRAIN_KERNEL_MAX_CC", 10 ** 9)
         (l, aux), g = jax.value_and_grad(
             lambda p: fwn.loss_fn(p, CFG, x, c, logs_l2=0.05,
                                   logs_hinge=1.0), has_aux=True)(params)
