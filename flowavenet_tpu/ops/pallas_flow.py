@@ -377,24 +377,26 @@ def _coupling_net(x_buf, c_buf, *, x_off: int, c_off: int, out_len: int,
     return net + zb.astype(jnp.float32)
 
 
-# FWN_FLAT_UV=1: pass the u/v tiles to the direct kernels FLAT — last
-# operand dim t_tile*R_in instead of [t_tile, R_in].  The early blocks'
-# tiny channel counts (R_in = 1..16) force the custom call's [.., R_in]
-# tiled layout to pad lanes up to 128x, and converting to/from that
-# padded layout is the "input tile/halo view" copy line in the profile
-# (~2-4% of the reverse pass, docs/benchmarks.md HBM accounting).  A
-# flat last dim is dense — the kernel instead pays a small in-VMEM
-# relayout (reshape) per tile.  Measured on chip before promoting.
+# FWN_FLAT_UV=1: pass the u/v tiles to the direct kernels refolded to a
+# DENSE [t_tile*R_in/128, 128] view instead of [t_tile, R_in].  The
+# early blocks' tiny channel counts (R_in = 1..16) force the custom
+# call's [.., R_in] tiled layout to pad lanes up to 128x, and
+# converting to/from that padded layout is the "input tile/halo view"
+# copy line in the profile (~2-4% of the reverse pass,
+# docs/benchmarks.md HBM accounting).  The [rows, 128] refold is dense
+# AND natively (8,128)-tileable (whole-tile blocks equal the array
+# dims); the kernel instead pays a small in-VMEM relayout per tile.
+# Measured on chip before promoting.
 FLAT_UV = _env_flag("FWN_FLAT_UV")
 
 
 def _win_cat(tile_ref, halo_ref, halo: int):
-    """[left-halo | tile | right-halo] assembled in VMEM.  A 1-D tile
-    read (flat u/v layout, FWN_FLAT_UV) is re-folded to [t_tile, C]
-    using the halo block's channel count."""
+    """[left-halo | tile | right-halo] assembled in VMEM.  A flat
+    [rows, 128] tile read (dense u/v layout, FWN_FLAT_UV) is re-folded
+    to [t_tile, C] using the halo block's channel count."""
     t = tile_ref[0, 0]
     h = halo_ref[0, 0]
-    if t.ndim == 1:
+    if t.ndim == 1 or t.shape[-1] != h.shape[-1]:
         t = t.reshape(-1, h.shape[-1])
     return jnp.concatenate([h[:halo], t, h[halo:]], axis=0)
 
@@ -501,9 +503,9 @@ def _pair_kernel(ut_ref, uh_ref, vt_ref, vh_ref, cat_ref, cah_ref, cbt_ref,
     extra = halo - 10 * n_pair  # alignment slack: crop to the tile
     uo = jax.lax.slice_in_dim(u, extra, extra + t_tile, axis=0)
     vo = jax.lax.slice_in_dim(v, extra, extra + t_tile, axis=0)
-    if len(u_out.shape) == 3:   # flat u/v output layout (FWN_FLAT_UV)
-        u_out[0, 0] = uo.reshape(-1)
-        v_out[0, 0] = vo.reshape(-1)
+    if u_out.shape[-1] != uo.shape[-1]:  # flat [rows, 128] layout
+        u_out[0, 0] = uo.reshape(u_out.shape[-2], u_out.shape[-1])
+        v_out[0, 0] = vo.reshape(v_out.shape[-2], v_out.shape[-1])
     else:
         u_out[0, 0] = uo
         v_out[0, 0] = vo
@@ -886,11 +888,18 @@ def fused_chain_reverse(u, v, c_a, c_b, operands, *, n_pair: int,
 
     ut, uh = _tiles_and_halos(u, t_tile, n_t, T_pad, halo)
     vt, vh = _tiles_and_halos(v, t_tile, n_t, T_pad, halo)
-    if FLAT_UV:
-        # free view chain from the padded [B, T_pad, R_in]: the flat
-        # last dim keeps the operand layout dense (no 128-lane padding)
-        ut = ut.reshape(B, n_t, t_tile * R_in)
-        vt = vt.reshape(B, n_t, t_tile * R_in)
+    # Flat u/v layout: refold each tile's t_tile*R_in values to a DENSE
+    # [rows, 128] view (no 128/R_in lane padding).  Mosaic requires the
+    # block's trailing dims be (8,128)-divisible OR equal to the array
+    # dims — the whole-tile block satisfies the latter exactly, so the
+    # refold only needs t_tile*R_in % 128 == 0.  R_in >= 128 is already
+    # dense; the kernel pays a small in-VMEM relayout per tile instead
+    # of the HBM-side padded tile-view copies.
+    flat = FLAT_UV and R_in < 128 and (t_tile * R_in) % 128 == 0
+    if flat:
+        rows128 = t_tile * R_in // 128
+        ut = ut.reshape(B, n_t, rows128, 128)
+        vt = vt.reshape(B, n_t, rows128, 128)
     cat, cah = _tiles_and_halos(c_a, t_tile, n_t, T_pad, halo)
     cbt, cbh = _tiles_and_halos(c_b, t_tile, n_t, T_pad, halo)
     Cc = c_a.shape[-1]
@@ -936,13 +945,12 @@ def fused_chain_reverse(u, v, c_a, c_b, operands, *, n_pair: int,
     flops_net = 2 * T * (2 * 3 * 256 * 512 + cond_flops + 2 * 256 * 256
                          + 256 * 256 + 3 * R_in * 256 + 256 * 2 * R_in)
     def uv_tile_spec():
-        if FLAT_UV:
-            return pl.BlockSpec((1, 1, t_tile * R_in),
-                                lambda g: (g // n_t, g % n_t, 0),
+        if flat:
+            return pl.BlockSpec((1, 1, rows128, 128), in_map,
                                 memory_space=pltpu.VMEM)
         return tile_spec(R_in)
 
-    uv_shape = (B, n_t, t_tile * R_in) if FLAT_UV \
+    uv_shape = (B, n_t, rows128, 128) if flat \
         else (B, n_t, t_tile, R_in)
     u2, v2 = pl.pallas_call(
         kernel,
